@@ -1,0 +1,187 @@
+"""Pisces-equivalent somatic small-variant caller application.
+
+Orchestration port of exe/Pisces (Program.cs:11-53, Logic/Factory.cs:30-399,
+Logic/SmallVariantCaller.cs:79-116, Logic/Processing/GenomeProcessor.cs:13-193):
+per (BAM x chromosome) work, candidate finding + pileup counts + per-locus
+scoring, VCF/gVCF output.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pisces_tpu.options import PiscesApplicationOptions
+from pisces_tpu.domain.types import AlleleCategory
+from pisces_tpu.io.bam import BamReader, filter_batch
+from pisces_tpu.io.fasta import ChrReference, Genome
+from pisces_tpu.io.vcf_write import VcfWriter, VcfWriterConfig
+from pisces_tpu.calling.caller import (
+    AlleleCaller, CallerConfig, make_reference_candidates,
+)
+from pisces_tpu.calling.collapser import VariantCollapser
+from pisces_tpu.calling.source import AlleleSource
+from pisces_tpu.pileup.candidates import find_candidates_batch
+from pisces_tpu.pileup.counts import build_counts_device, build_counts_host
+from pisces_tpu.pileup.events import build_base_events
+from pisces_tpu.utils.logger import log
+
+
+def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
+                    bam: BamReader, intervals=None, use_device: bool = True):
+    """Run the full calling pipeline for one chromosome; returns the list of
+    called alleles in genome order (the per-chromosome unit of P1 parallelism)."""
+    cfg = CallerConfig.from_options(options)
+    bf = options.bam_filter_parameters
+
+    ref_id = bam.header.ref_index(chrom.name)
+    batch = bam.fetch(ref_id=ref_id)
+    keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
+                        bf.only_use_proper_pairs)
+
+    ev = build_base_events(batch, keep, bf.minimum_base_call_quality,
+                           options.tracked_anchor_size)
+    builder = build_counts_device if use_device else build_counts_host
+    pc = builder(ev, anchor_size=options.tracked_anchor_size)
+    source = AlleleSource(pc)
+
+    candidates, _ = find_candidates_batch(
+        chrom.name, chrom.sequence, batch, keep,
+        bf.minimum_base_call_quality, options.call_mnvs, options.max_size_mnv,
+        options.max_gap_between_mnv, options.tracked_anchor_size,
+        track_open_ended=options.collapse)
+
+    if options.vcf_writing_parameters.output_gvcf_file:
+        candidates = candidates + make_reference_candidates(
+            chrom.name, chrom.sequence, pc, intervals)
+
+    collapser = None
+    if options.collapse:
+        collapser = VariantCollapser(
+            None, options.exclude_mnvs_from_collapsing,
+            cfg.consider_anchor_information,
+            options.collapse_freq_threshold, options.collapse_freq_ratio_threshold)
+
+    caller = AlleleCaller(cfg, chrom.sequence, collapser, intervals)
+    by_position = caller.call(candidates, source, max_position=None)
+
+    out: List = []
+    for pos in sorted(by_position):
+        out.extend(by_position[pos])
+    log(f"{chrom.name}: {caller.total_num_called} alleles called. "
+        f"{caller.total_num_collapsed} variants collapsed.")
+    return out
+
+
+def process_bam(options: PiscesApplicationOptions, bam_path: str,
+                genome: Genome, out_vcf: Optional[str] = None,
+                use_device: bool = True) -> str:
+    options.validate()
+    bam = BamReader(bam_path)
+    gvcf = options.vcf_writing_parameters.output_gvcf_file
+    if out_vcf is None:
+        stem = os.path.basename(bam_path)
+        if stem.endswith(".bam"):
+            stem = stem[:-4]
+        suffix = ".genome.vcf" if gvcf else ".vcf"
+        out_dir = options.output_directory or os.path.dirname(bam_path)
+        os.makedirs(out_dir, exist_ok=True)
+        out_vcf = os.path.join(out_dir, stem + suffix)
+
+    wcfg = VcfWriterConfig(options)
+    sample = os.path.basename(bam_path).split(".")[0]
+    with VcfWriter(out_vcf, wcfg, genome.directory, sample,
+                   genome.chromosome_lengths, options.command_line) as writer:
+        writer.write_header()
+        from pisces_tpu.calling.intervals import make_region_mapper
+        for chrom_name in genome.chromosome_names:
+            if chrom_name not in bam.header.ref_names:
+                log(f"skipping {chrom_name}: not in bam")
+                continue
+            if options.chromosome_filter and chrom_name != options.chromosome_filter:
+                continue
+            chrom = genome.get_chr_reference(chrom_name)
+            intervals = _load_intervals(options, chrom_name)
+            t0 = time.time()
+            alleles = call_chromosome(options, chrom, bam, intervals, use_device)
+            mapper = make_region_mapper(options, chrom, intervals)
+            writer.write(alleles, mapper)
+            writer.write_remaining(mapper)
+            log(f"Completed processing chr {chrom_name} in "
+                f"{time.time() - t0:.2f} secs")
+    return out_vcf
+
+
+def _load_intervals(options: PiscesApplicationOptions, chrom_name: str):
+    if not options.interval_paths:
+        return None
+    from pisces_tpu.calling.intervals import ChrIntervalSet, read_picard_intervals
+    regions = read_picard_intervals(options.interval_paths[0]).get(chrom_name, [])
+    if not regions and not any(
+            read_picard_intervals(options.interval_paths[0]).values()):
+        return None
+    return ChrIntervalSet(regions, chrom_name)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pisces-tpu",
+                                description="TPU-native somatic variant caller")
+    p.add_argument("-bam", "--bam", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-i", "--intervals", default=None)
+    p.add_argument("-o", "--out", default=None, help="output folder")
+    p.add_argument("-gVCF", "--gvcf", default="true")
+    p.add_argument("-CallMNVs", default="false")
+    p.add_argument("-MinimumFrequency", "-minvf", type=float, default=0.01)
+    p.add_argument("-MinBaseCallQuality", "-minbq", type=int, default=20)
+    p.add_argument("-MinMapQuality", "-minmq", type=int, default=1)
+    p.add_argument("-MinVariantQScore", "-minvq", type=int, default=20)
+    p.add_argument("-VariantQualityFilter", type=int, default=30)
+    p.add_argument("-MinDepth", "-mindp", type=int, default=10)
+    p.add_argument("-ploidy", default="somatic")
+    p.add_argument("-RMxNFilter", default="5,9,0.35")
+    p.add_argument("-backend", default="jax", choices=["jax", "numpy"])
+    args = p.parse_args(argv)
+
+    options = PiscesApplicationOptions()
+    options.bam_paths = [args.bam]
+    options.genome_paths = [args.genome]
+    options.output_directory = args.out
+    options.command_line = " ".join(argv if argv is not None else sys.argv[1:])
+    options.vcf_writing_parameters.output_gvcf_file = args.gvcf.lower() == "true"
+    options.call_mnvs = args.CallMNVs.lower() == "true"
+    v = options.variant_calling_parameters
+    v.minimum_frequency = args.MinimumFrequency
+    v.minimum_variant_qscore = args.MinVariantQScore
+    v.minimum_variant_qscore_filter = args.VariantQualityFilter
+    v.minimum_coverage = args.MinDepth
+    options.bam_filter_parameters.minimum_base_call_quality = args.MinBaseCallQuality
+    options.bam_filter_parameters.minimum_map_quality = args.MinMapQuality
+    if args.ploidy.lower() == "diploid":
+        from pisces_tpu.domain.types import PloidyModel
+        v.ploidy_model = PloidyModel.DIPLOID_BY_THRESHOLDING
+    if args.RMxNFilter.lower() == "false":
+        v.rmxn_filter_max_length_repeat = None
+        v.rmxn_filter_min_repetitions = None
+    elif args.RMxNFilter:
+        parts = args.RMxNFilter.split(",")
+        v.rmxn_filter_max_length_repeat = int(parts[0])
+        v.rmxn_filter_min_repetitions = int(parts[1])
+        if len(parts) > 2:
+            v.rmxn_filter_frequency_limit = float(parts[2])
+    if args.intervals:
+        options.interval_paths = [args.intervals]
+
+    genome = Genome(args.genome)
+    out = process_bam(options, args.bam, genome,
+                      use_device=args.backend == "jax")
+    log(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""AlleleSource: query facade over the pileup count tensors.
+
+Provides the reference IAlleleSource contract (GetAlleleCount /
+GetSumOfAlleleBaseQualities / GetGappedMnvRefCount) against the block-tiled
+PileupCounts (RegionStateManager query side, cs:225-260).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from pisces_tpu.pileup.counts import PileupCounts, anchor_window_sum
+
+
+class AlleleSource:
+    def __init__(self, counts: PileupCounts, expect_stitched_reads: bool = False):
+        self.pc = counts
+        self.expect_stitched_reads = expect_stitched_reads
+        self.gapped_mnv_ref_counts: Dict[int, int] = {}
+        self._flat_counts, self._flat_quals = counts.flat_view()
+
+    def get_allele_count(self, position: int, allele_type: int, direction: int,
+                         min_anchor: int = 0, max_anchor: Optional[int] = None,
+                         from_end: bool = False, symmetric: bool = False) -> int:
+        row = int(self.pc.pos_index(position))
+        if row < 0:
+            return 0
+        vec = self._flat_counts[row, allele_type, direction]
+        return int(anchor_window_sum(vec, self.pc.anchor_size, min_anchor,
+                                     max_anchor, from_end, symmetric))
+
+    def get_sum_of_base_qualities(self, position: int, allele_type: int,
+                                  direction: int, min_anchor: int = 0,
+                                  max_anchor: Optional[int] = None,
+                                  from_end: bool = False,
+                                  symmetric: bool = False) -> float:
+        row = int(self.pc.pos_index(position))
+        if row < 0:
+            return 0.0
+        vec = self._flat_quals[row, allele_type, direction]
+        return float(anchor_window_sum(vec, self.pc.anchor_size, min_anchor,
+                                       max_anchor, from_end, symmetric))
+
+    def get_gapped_mnv_ref_count(self, position: int) -> int:
+        return self.gapped_mnv_ref_counts.get(position, 0)
+
+    def add_gapped_mnv_ref_counts(self, support: Dict[int, int]) -> None:
+        for pos, count in support.items():
+            self.gapped_mnv_ref_counts[pos] = (
+                self.gapped_mnv_ref_counts.get(pos, 0) + count)

@@ -1,0 +1,239 @@
+"""BAM container reader producing columnar read batches.
+
+Replaces the reference's C# BamReader (src/lib/Alignment.IO/BamReader.cs:22-677)
+with a decode path that emits fixed-dtype numpy columns (positions, flags,
+CIGAR op arrays, seq codes, quals) ready for host->device DMA, instead of
+per-read objects.
+
+This Python implementation is the portable fallback; pisces_tpu/io/_native
+provides the C++ fast path with the same ReadBatch contract.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pisces_tpu.io import bgzf
+from pisces_tpu.domain.types import BASE_TO_ALLELE, AlleleType
+
+# BAM flag bits
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_FIRST_MATE = 0x40
+FLAG_SECOND_MATE = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QC_FAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+# CIGAR op codes per BAM spec: MIDNSHP=X
+CIGAR_OPS = "MIDNSHP=X"
+OP_M, OP_I, OP_D, OP_N, OP_S, OP_H, OP_P, OP_EQ, OP_X = range(9)
+# ops consuming read / reference
+OP_CONSUMES_READ = np.array([1, 1, 0, 0, 1, 0, 0, 1, 1], dtype=bool)
+OP_CONSUMES_REF = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=bool)
+
+# 4-bit seq code -> allele code ('=ACMGRSVTWYHKDBN')
+_SEQ_NIBBLE_CHARS = b"=ACMGRSVTWYHKDBN"
+SEQ_CODE_TO_ALLELE = np.array(
+    [BASE_TO_ALLELE[c] for c in _SEQ_NIBBLE_CHARS], dtype=np.int8)
+SEQ_CODE_TO_CHAR = np.frombuffer(_SEQ_NIBBLE_CHARS, dtype=np.uint8)
+
+
+@dataclass
+class ReadBatch:
+    """Columnar alignment batch. All coordinates are 0-based (BAM native)."""
+
+    n: int
+    ref_id: np.ndarray      # int32 [n]
+    pos: np.ndarray         # int32 [n] 0-based leftmost mapped position
+    mapq: np.ndarray        # uint8 [n]
+    flag: np.ndarray        # uint16 [n]
+    cigar_off: np.ndarray   # int64 [n+1] into cigar_ops/cigar_lens
+    cigar_ops: np.ndarray   # uint8 [total_ops]
+    cigar_lens: np.ndarray  # int32 [total_ops]
+    seq_off: np.ndarray     # int64 [n+1] into seq/qual
+    seq: np.ndarray         # int8 allele codes [total_bases]
+    qual: np.ndarray        # uint8 [total_bases]
+    end_pos: np.ndarray     # int32 [n] 0-based inclusive end (last ref-consumed base)
+
+    def read_len(self, i: int) -> int:
+        return int(self.seq_off[i + 1] - self.seq_off[i])
+
+
+@dataclass
+class BamHeader:
+    text: str
+    ref_names: List[str]
+    ref_lengths: List[int]
+
+    def ref_index(self, name: str) -> int:
+        return self.ref_names.index(name)
+
+    @property
+    def source_is_stitched(self) -> bool:
+        """Reference detects stitched input from @PG lines mentioning the
+        stitcher (BamFileAlignmentExtractor.cs)."""
+        for line in self.text.splitlines():
+            if line.startswith("@PG") and ("stitcher" in line.lower()):
+                return True
+        return False
+
+    @property
+    def source_is_collapsed(self) -> bool:
+        for line in self.text.splitlines():
+            if line.startswith("@PG") and ("reco" in line.lower() or
+                                           "umi" in line.lower()):
+                return True
+        return False
+
+
+class BamReader:
+    """Whole-file BAM reader with per-chromosome columnar extraction."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            raw = f.read()
+        self._data = bgzf.decompress(raw)
+        if self._data[:4] != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        self.header, self._records_start = self._parse_header()
+        self._record_offsets: Optional[np.ndarray] = None
+
+    def _parse_header(self) -> Tuple[BamHeader, int]:
+        d = self._data
+        l_text = struct.unpack_from("<i", d, 4)[0]
+        text = d[8:8 + l_text].rstrip(b"\x00").decode("utf-8", errors="replace")
+        off = 8 + l_text
+        n_ref = struct.unpack_from("<i", d, off)[0]
+        off += 4
+        names, lengths = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", d, off)[0]
+            names.append(d[off + 4: off + 4 + l_name - 1].decode())
+            lengths.append(struct.unpack_from("<i", d, off + 4 + l_name)[0])
+            off += 8 + l_name
+        return BamHeader(text, names, lengths), off
+
+    def _scan_record_offsets(self) -> np.ndarray:
+        if self._record_offsets is not None:
+            return self._record_offsets
+        d = self._data
+        offsets = []
+        off = self._records_start
+        n = len(d)
+        while off + 4 <= n:
+            block_size = int.from_bytes(d[off:off + 4], "little", signed=True)
+            offsets.append(off)
+            off += 4 + block_size
+        self._record_offsets = np.array(offsets + [off], dtype=np.int64)
+        return self._record_offsets
+
+    @property
+    def n_records(self) -> int:
+        return len(self._scan_record_offsets()) - 1
+
+    def fetch(self, ref_id: Optional[int] = None) -> ReadBatch:
+        """Decode records (optionally only those mapped to ref_id) into a batch."""
+        d = self._data
+        offsets = self._scan_record_offsets()
+        n_total = len(offsets) - 1
+
+        ref_ids = np.empty(n_total, dtype=np.int32)
+        poss = np.empty(n_total, dtype=np.int32)
+        mapqs = np.empty(n_total, dtype=np.uint8)
+        flags = np.empty(n_total, dtype=np.uint16)
+        keep = np.zeros(n_total, dtype=bool)
+
+        # first sweep: fixed header fields
+        for i in range(n_total):
+            off = offsets[i]
+            rid, pos = struct.unpack_from("<ii", d, off + 4)
+            l_rn, mq = d[off + 12], d[off + 13]
+            flg = struct.unpack_from("<H", d, off + 18)[0]
+            ref_ids[i] = rid
+            poss[i] = pos
+            mapqs[i] = mq
+            flags[i] = flg
+            keep[i] = (ref_id is None) or (rid == ref_id)
+
+        idx = np.nonzero(keep)[0]
+        m = len(idx)
+
+        cigar_off = np.zeros(m + 1, dtype=np.int64)
+        seq_off = np.zeros(m + 1, dtype=np.int64)
+        cigar_ops_l: List[np.ndarray] = []
+        cigar_lens_l: List[np.ndarray] = []
+        seq_l: List[np.ndarray] = []
+        qual_l: List[np.ndarray] = []
+        end_pos = np.empty(m, dtype=np.int32)
+
+        for j, i in enumerate(idx):
+            off = int(offsets[i])
+            l_read_name = d[off + 12]
+            n_cigar = struct.unpack_from("<H", d, off + 16)[0]
+            l_seq = struct.unpack_from("<i", d, off + 20)[0]
+            p = off + 36 + l_read_name
+            cig = np.frombuffer(d, dtype=np.uint32, count=n_cigar, offset=p)
+            ops = (cig & 0xF).astype(np.uint8)
+            lens = (cig >> 4).astype(np.int32)
+            p += 4 * n_cigar
+            nb = (l_seq + 1) // 2
+            packed = np.frombuffer(d, dtype=np.uint8, count=nb, offset=p)
+            nibbles = np.empty(nb * 2, dtype=np.uint8)
+            nibbles[0::2] = packed >> 4
+            nibbles[1::2] = packed & 0xF
+            seq_codes = SEQ_CODE_TO_ALLELE[nibbles[:l_seq]]
+            p += nb
+            quals = np.frombuffer(d, dtype=np.uint8, count=l_seq, offset=p).copy()
+
+            cigar_ops_l.append(ops)
+            cigar_lens_l.append(lens)
+            seq_l.append(seq_codes)
+            qual_l.append(quals)
+            cigar_off[j + 1] = cigar_off[j] + n_cigar
+            seq_off[j + 1] = seq_off[j] + l_seq
+            ref_span = int(lens[OP_CONSUMES_REF[ops]].sum()) if n_cigar else 0
+            end_pos[j] = poss[i] + max(ref_span, 1) - 1
+
+        return ReadBatch(
+            n=m,
+            ref_id=ref_ids[idx],
+            pos=poss[idx],
+            mapq=mapqs[idx],
+            flag=flags[idx],
+            cigar_off=cigar_off,
+            cigar_ops=np.concatenate(cigar_ops_l) if m else np.empty(0, np.uint8),
+            cigar_lens=np.concatenate(cigar_lens_l) if m else np.empty(0, np.int32),
+            seq_off=seq_off,
+            seq=np.concatenate(seq_l) if m else np.empty(0, np.int8),
+            qual=np.concatenate(qual_l) if m else np.empty(0, np.uint8),
+            end_pos=end_pos,
+        )
+
+
+def filter_batch(batch: ReadBatch, min_map_quality: int = 1,
+                 remove_duplicates: bool = True,
+                 only_proper_pairs: bool = False) -> np.ndarray:
+    """Read-level skip rules (reference: AlignmentSource.ShouldSkipRead,
+    exe/Pisces/Logic/Alignment/AlignmentsSource.cs:96-104). Returns keep mask."""
+    flag = batch.flag
+    keep = (flag & FLAG_UNMAPPED) == 0
+    keep &= (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    if only_proper_pairs:
+        keep &= (flag & FLAG_PROPER_PAIR) != 0
+    if remove_duplicates:
+        keep &= (flag & FLAG_DUPLICATE) == 0
+    keep &= batch.mapq >= min_map_quality
+    has_cigar = (batch.cigar_off[1:] - batch.cigar_off[:-1]) > 0
+    keep &= has_cigar
+    keep &= batch.pos >= 0
+    return keep

@@ -1,0 +1,180 @@
+"""Indexed FASTA + GenomeSize.xml access.
+
+Mirrors the reference Genome / GenomeMetadata contracts
+(src/lib/Pisces.IO/Genome.cs:40-96, src/lib/Common.IO/GenomeMetadata.cs):
+a genome folder must contain GenomeSize.xml and FASTA(s) with .fai indexes;
+chromosome sequences are served as whole uppercase byte arrays.
+"""
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class FaiEntry:
+    name: str
+    length: int
+    offset: int
+    line_bases: int
+    line_width: int
+
+
+def read_fai(path: str) -> Dict[str, FaiEntry]:
+    entries = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                continue
+            entries[parts[0]] = FaiEntry(parts[0], int(parts[1]), int(parts[2]),
+                                         int(parts[3]), int(parts[4]))
+    return entries
+
+
+_FASTA_SCAN_CACHE: dict = {}
+
+
+def _scan_fasta(fasta_path: str) -> Dict[str, Tuple[int, int]]:
+    """Locate each record's sequence byte range [start, end) by scanning for
+    '>' headers. Robust to CRLF and .fai offset drift (some shipped test
+    genomes have stale indexes)."""
+    cached = _FASTA_SCAN_CACHE.get(fasta_path)
+    if cached is not None:
+        return cached
+    ranges: Dict[str, Tuple[int, int]] = {}
+    with open(fasta_path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    pending_name = None
+    pending_start = 0
+    while pos < n:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            nl = n
+        if data[pos:pos + 1] == b">":
+            if pending_name is not None:
+                ranges[pending_name] = (pending_start, pos)
+            header = data[pos + 1:nl].strip().split()
+            pending_name = header[0].decode() if header else ""
+            pending_start = nl + 1
+            pos = nl + 1
+        else:
+            # skip to the next header fast
+            nxt = data.find(b"\n>", pos)
+            if nxt < 0:
+                pos = n
+            else:
+                pos = nxt + 1
+    if pending_name is not None:
+        ranges[pending_name] = (pending_start, n)
+    _FASTA_SCAN_CACHE[fasta_path] = ranges
+    return ranges
+
+
+def load_chromosome(fasta_path: str, entry: FaiEntry) -> np.ndarray:
+    """Load one chromosome as an uppercase uint8 array (ASCII)."""
+    ranges = _scan_fasta(fasta_path)
+    if entry.name not in ranges:
+        raise KeyError(f"{entry.name} not found in {fasta_path}")
+    start, end = ranges[entry.name]
+    with open(fasta_path, "rb") as f:
+        f.seek(start)
+        raw = np.frombuffer(f.read(end - start), dtype=np.uint8)
+    seq = raw[(raw != ord("\n")) & (raw != ord("\r"))]
+    if len(seq) < entry.length:
+        raise ValueError(
+            f"{entry.name}: expected {entry.length} bases, found {len(seq)}")
+    seq = seq[:entry.length].copy()
+    # uppercase in place: 'a'..'z' -> 'A'..'Z'
+    lower = (seq >= ord("a")) & (seq <= ord("z"))
+    seq[lower] -= 32
+    return seq
+
+
+@dataclass
+class ChrReference:
+    name: str
+    sequence: np.ndarray  # uint8 ASCII, uppercase
+
+    @property
+    def length(self) -> int:
+        return len(self.sequence)
+
+    def substr(self, start0: int, length: int) -> str:
+        return self.sequence[start0:start0 + length].tobytes().decode()
+
+
+class Genome:
+    """Genome folder access (GenomeSize.xml + FASTA + .fai)."""
+
+    def __init__(self, directory: str, chrs_to_process: Optional[List[str]] = None):
+        self.directory = directory
+        xml_path = os.path.join(directory, "GenomeSize.xml")
+        if not os.path.exists(xml_path):
+            raise FileNotFoundError(f"Cannot find GenomeSize.xml in {directory}")
+        root = ET.parse(xml_path).getroot()
+        self.name = root.get("genomeName", os.path.basename(directory))
+        self._chrom_info: List[Tuple[str, str, int]] = []  # (contig, fasta file, len)
+        for el in root.findall("chromosome"):
+            contig = el.get("contigName")
+            if chrs_to_process and contig not in chrs_to_process:
+                continue
+            self._chrom_info.append((contig, el.get("fileName"), int(el.get("totalBases"))))
+        self._fai_cache: Dict[str, Dict[str, FaiEntry]] = {}
+
+    @property
+    def chromosome_names(self) -> List[str]:
+        return [c for c, _, _ in self._chrom_info]
+
+    @property
+    def chromosome_lengths(self) -> List[Tuple[str, int]]:
+        return [(c, n) for c, _, n in self._chrom_info]
+
+    def get_chr_reference(self, name: str) -> ChrReference:
+        for contig, fa_file, _ in self._chrom_info:
+            if contig == name:
+                fa_path = os.path.join(self.directory, fa_file)
+                fai_path = fa_path + ".fai"
+                if fa_path not in self._fai_cache:
+                    if not os.path.exists(fai_path):
+                        raise FileNotFoundError(f"Missing index {fai_path}")
+                    self._fai_cache[fa_path] = read_fai(fai_path)
+                entry = self._fai_cache[fa_path][name]
+                return ChrReference(name, load_chromosome(fa_path, entry))
+        raise KeyError(f"Chromosome {name} not in genome {self.directory}")
+
+
+def create_genome_size_xml(directory: str, out_path: Optional[str] = None) -> str:
+    """CreateGenomeSizeFile tool equivalent (src/tools/CreateGenomeSizeFile):
+    generate GenomeSize.xml from the FASTA .fai files in a folder."""
+    import glob
+    import hashlib
+    lines = []
+    fas = sorted(glob.glob(os.path.join(directory, "*.fa")) +
+                 glob.glob(os.path.join(directory, "*.fasta")))
+    if not fas:
+        raise FileNotFoundError(f"no FASTA files in {directory}")
+    genome_name = os.path.basename(os.path.abspath(directory))
+    for fa in fas:
+        fai = fa + ".fai"
+        if not os.path.exists(fai):
+            raise FileNotFoundError(f"missing {fai}; index the FASTA first")
+        with open(fa, "rb") as f:
+            md5 = hashlib.md5(f.read()).hexdigest()
+        for name, e in read_fai(fai).items():
+            lines.append(
+                f'\t<chromosome fileName="{os.path.basename(fa)}" contigName="{name}" '
+                f'totalBases="{e.length}" isCircular="false" md5="{md5}" ploidy="2" '
+                f'knownBases="{e.length}" />')
+    xml = (f'<sequenceSizes genomeName="{genome_name}">\n' + "\n".join(lines)
+           + "\n</sequenceSizes>")
+    out_path = out_path or os.path.join(directory, "GenomeSize.xml")
+    with open(out_path, "w") as f:
+        f.write(xml)
+    return out_path
