@@ -58,8 +58,12 @@ def assign_raw_poisson_qscore(call_count, coverage, estimated_basecall_quality):
     coverage = np.asarray(coverage, dtype=np.float64)
     error_rate = q_to_p(estimated_basecall_quality)
     lam = error_rate * coverage
-    # 1 - PoissonCDF(callCount-1; lam) = regularized lower gamma P(callCount, lam)
-    p_value = sp.gammainc(np.maximum(call_count, 1e-300), lam)
+    # The reference computes p = 1 - CDF(callCount-1) by literal f64
+    # subtraction (VariantQualityCalculator.cs:38), so cancellation zeroes p
+    # near 1e-16 and triggers the log-space fallback well before true f64
+    # underflow. Replicate that: CDF(callCount-1) = Q(callCount, lam).
+    cdf = sp.gammaincc(np.maximum(call_count, 1e-300), lam)
+    p_value = 1.0 - cdf
 
     q_direct = np.where(p_value > 0, p_to_q(np.where(p_value > 0, p_value, 1.0)), 0.0)
 
@@ -115,9 +119,23 @@ def _populate_stats(support, coverage, noise_freq, min_detectable, model: int):
         z_cfn = z_cvfgz
 
     # support > 0 branch
-    nz_cvfgz = np.maximum(0.0, poisson_cdf(support - 1.0, coverage * noise_freq))
-    nz_cfp = np.maximum(0.0, 1.0 - nz_cvfgz)
-    nz_cfn = np.maximum(0.0, poisson_cdf(support, coverage * min_detectable))
+    if model == int(StrandBiasModel.DIPLOID):
+        # PopulateDiploidStats (StrandBiasCalculator.cs:151-172)
+        from scipy.stats import binom
+        with np.errstate(invalid="ignore"):
+            freq = np.where(coverage > 0, support / np.maximum(coverage, 1e-300), 0.0)
+        obvious = freq >= min_detectable
+        cfn_low = np.maximum(
+            binom.cdf(np.floor(support), np.maximum(coverage, 0).astype(np.int64),
+                      min_detectable), 0.0)
+        cfp_low = np.maximum(0.0, 1.0 - poisson_cdf(support, coverage * 0.1))
+        nz_cfn = np.where(obvious, 1.0, cfn_low)
+        nz_cfp = np.where(obvious, 0.0, cfp_low)
+        nz_cvfgz = nz_cfn
+    else:
+        nz_cvfgz = np.maximum(0.0, poisson_cdf(support - 1.0, coverage * noise_freq))
+        nz_cfp = np.maximum(0.0, 1.0 - nz_cvfgz)
+        nz_cfn = np.maximum(0.0, poisson_cdf(support, coverage * min_detectable))
 
     cvfgz = np.where(zero_support, z_cvfgz, nz_cvfgz)
     cfp = np.where(zero_support, z_cfp, nz_cfp)
