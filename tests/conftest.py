@@ -1,12 +1,18 @@
 import os
 import sys
 
-# run JAX on a virtual 8-device CPU mesh for sharding tests
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Run tests on a virtual 8-device CPU mesh (the TPU 'axon' plugin registers
+# itself via sitecustomize, so plain JAX_PLATFORMS env vars are not enough).
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
