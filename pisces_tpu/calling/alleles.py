@@ -42,9 +42,11 @@ class CalledAllele:
     noise_level_applied: int = 0
 
     filters: List[FilterType] = field(default_factory=list)
+    # C# BiasResults defaults: score/GATK 0.0, BiasAcceptable false -- alleles
+    # whose support is 0 skip the SB computation and keep these defaults
     strand_bias_score: float = 0.0
-    strand_bias_gatk: float = float("-inf")
-    strand_bias_acceptable: bool = True
+    strand_bias_gatk: float = 0.0
+    strand_bias_acceptable: bool = False
     var_present_on_both_strands: bool = False
     cov_present_on_both_strands: bool = False
     amplicon_bias_detected: bool = False
