@@ -109,6 +109,8 @@ class TestDiploidThresholding:
     def test_alt1_alt2(self):
         v1 = make_allele(55, 100, alt="T")
         v2 = make_allele(42, 100, alt="G")
+        v1.reference_support = 3  # true ref-base counts, not coverage-support
+        v2.reference_support = 3
         gt, _ = self._gt([v1, v2])
         assert gt == Genotype.HETEROZYGOUS_ALT1_ALT2
 
