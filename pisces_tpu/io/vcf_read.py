@@ -1,0 +1,237 @@
+"""VCF reading: streaming records, locus grouping, CalledAllele conversion.
+
+Covers the reference's AlleleReader / VcfReader / VcfVariantUtilities layer
+(src/lib/Pisces.IO/AlleleReader.cs:1-640, VcfVariantUtilities.cs:1-626)
+including crushed-line unpacking, plus the VcfUpdater streaming-rewrite
+pattern (VcfUpdater.cs:14-150) used by Psara/VQR/Reformat.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+from pisces_tpu.domain.types import AlleleCategory, Genotype
+from pisces_tpu.calling.alleles import CalledAllele
+
+
+@dataclass
+class VcfVariant:
+    chrom: str
+    position: int
+    id: str
+    ref_allele: str
+    alt_allele: str          # may contain multiple comma-separated alts
+    quality: str
+    filters: str
+    info: str
+    format: str = ""
+    sample: str = ""
+    raw_line: str = ""
+
+    @property
+    def info_fields(self) -> Dict[str, str]:
+        out = {}
+        for kv in self.info.split(";"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                out[k] = v
+            elif kv:
+                out[kv] = ""
+        return out
+
+    @property
+    def genotypes(self) -> Dict[str, str]:
+        if not self.format or not self.sample:
+            return {}
+        return dict(zip(self.format.split(":"), self.sample.split(":")))
+
+    def to_line(self) -> str:
+        fields = [self.chrom, str(self.position), self.id, self.ref_allele,
+                  self.alt_allele, self.quality, self.filters, self.info]
+        if self.format:
+            fields += [self.format, self.sample]
+        return "\t".join(fields)
+
+
+def open_maybe_gzip(path: str):
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path)
+
+
+def parse_vcf_line(line: str) -> VcfVariant:
+    f = line.rstrip("\n").split("\t")
+    return VcfVariant(
+        chrom=f[0], position=int(f[1]), id=f[2], ref_allele=f[3],
+        alt_allele=f[4], quality=f[5], filters=f[6], info=f[7],
+        format=f[8] if len(f) > 8 else "",
+        sample=f[9] if len(f) > 9 else "",
+        raw_line=line.rstrip("\n"))
+
+
+def read_header_and_variants(path: str) -> Tuple[List[str], Iterator[VcfVariant]]:
+    fh = open_maybe_gzip(path)
+    header = []
+    pos = 0
+    for line in fh:
+        if line.startswith("#"):
+            header.append(line.rstrip("\n"))
+        else:
+            fh.seek(0)
+            break
+    def gen():
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            if line.strip():
+                yield parse_vcf_line(line)
+        fh.close()
+    return header, gen()
+
+
+def iter_colocated(variants: Iterable[VcfVariant]) -> Iterator[List[VcfVariant]]:
+    """Group consecutive records with the same (chrom, position)."""
+    group: List[VcfVariant] = []
+    for v in variants:
+        if group and (v.chrom != group[0].chrom
+                      or v.position != group[0].position):
+            yield group
+            group = []
+        group.append(v)
+    if group:
+        yield group
+
+
+def _genotype_from_string(gt: str, n_alts: int = 1) -> Genotype:
+    mapping = {
+        "1/1": Genotype.HOMOZYGOUS_ALT, "0/0": Genotype.HOMOZYGOUS_REF,
+        "0/1": Genotype.HETEROZYGOUS_ALT_REF, "1/0": Genotype.HETEROZYGOUS_ALT_REF,
+        "1/2": Genotype.HETEROZYGOUS_ALT1_ALT2,
+        "0/.": Genotype.REF_AND_NOCALL, "1/.": Genotype.ALT_AND_NOCALL,
+        "./1": Genotype.ALT_AND_NOCALL,
+        "0": Genotype.HEMIZYGOUS_REF, "1": Genotype.HEMIZYGOUS_ALT,
+        ".": Genotype.HEMIZYGOUS_NOCALL, "2/2": Genotype.OTHERS,
+    }
+    if gt in mapping:
+        return mapping[gt]
+    if gt == "./.":
+        return Genotype.ALT_LIKE_NOCALL if n_alts else Genotype.REF_LIKE_NOCALL
+    return Genotype.ALT_LIKE_NOCALL
+
+
+def trim_trailing_bases(ref: str, alt: str) -> Tuple[str, str]:
+    """Uncrush normalization: remove shared trailing bases down to length 1."""
+    while len(ref) > 1 and len(alt) > 1 and ref[-1] == alt[-1]:
+        ref = ref[:-1]
+        alt = alt[:-1]
+    return ref, alt
+
+
+def classify(ref: str, alt: str) -> AlleleCategory:
+    if alt in (".", ref):
+        return AlleleCategory.REFERENCE
+    if len(ref) == len(alt):
+        return AlleleCategory.SNV if len(alt) == 1 else AlleleCategory.MNV
+    if len(ref) == 1 and len(alt) > 1:
+        return AlleleCategory.INSERTION
+    if len(alt) == 1 and len(ref) > 1:
+        return AlleleCategory.DELETION
+    return AlleleCategory.UNSUPPORTED
+
+
+def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
+    """VcfVariantUtilities-style conversion incl. crushed-line unpacking."""
+    alts = v.alt_allele.split(",")
+    gts = v.genotypes
+    out: List[CalledAllele] = []
+    real_alts = [a for a in alts if a not in ("<M>", ".", "*")]
+
+    ad_values = gts.get("AD", "").split(",") if "AD" in gts else []
+    dp = int(gts.get("DP", v.info_fields.get("DP", "0")) or 0)
+    vf_values = gts.get("VF", "").split(",") if "VF" in gts else []
+
+    n_real = max(len(real_alts), 1)
+    alt_index = 0
+    for alt in alts:
+        if alt in ("<M>", "*"):
+            continue
+        if alt == ".":
+            ref, a = v.ref_allele, "."
+            cat = AlleleCategory.REFERENCE
+        else:
+            ref, a = trim_trailing_bases(v.ref_allele, alt)
+            cat = classify(ref, a)
+        allele = CalledAllele(v.chrom, v.position, ref,
+                              a if a != "." else ref, cat)
+        allele.variant_qscore = int(float(v.quality)) if v.quality not in (".", "") else 0
+        allele.total_coverage = dp
+        if "GT" in gts:
+            allele.genotype = _genotype_from_string(gts["GT"], len(real_alts))
+        if "GQ" in gts:
+            try:
+                allele.genotype_qscore = int(float(gts["GQ"]))
+            except ValueError:
+                pass
+        if "NL" in gts:
+            try:
+                allele.noise_level_applied = int(gts["NL"])
+            except ValueError:
+                pass
+        if "SB" in gts:
+            try:
+                allele.strand_bias_gatk = float(gts["SB"])
+            except ValueError:
+                pass
+        # AD semantics: ref alleles have a single AD value; variants have
+        # refSupport,altSupport[,..]
+        if cat == AlleleCategory.REFERENCE:
+            if ad_values and ad_values[0]:
+                allele.allele_support = int(ad_values[0])
+                allele.reference_support = allele.allele_support
+            if vf_values and vf_values[0]:
+                # VF on ref lines is the non-ref fraction
+                pass
+        else:
+            if ad_values and ad_values[0]:
+                allele.reference_support = int(ad_values[0])
+            if len(ad_values) > 1 + alt_index:
+                allele.allele_support = int(ad_values[1 + alt_index])
+            alt_index += 1
+        out.append(allele)
+    return out
+
+
+def read_alleles(path: str) -> Iterator[CalledAllele]:
+    _, variants = read_header_and_variants(path)
+    for v in variants:
+        for a in to_called_alleles(v):
+            yield a
+
+
+# ---------------------------------------------------------------------------
+# Streaming rewrite (VcfUpdater equivalent)
+# ---------------------------------------------------------------------------
+
+def update_vcf_loci_by_loci(in_path: str, out_path: str, update_fn,
+                            header_fn=None) -> None:
+    """Stream a VCF, apply update_fn(group: List[VcfVariant]) ->
+    Optional[List[str]] per co-located group (None = keep original lines,
+    [] = delete), write result. header_fn may transform header lines."""
+    header, variants = read_header_and_variants(in_path)
+    with open(out_path, "w", newline="\n") as out:
+        for line in header:
+            if header_fn is not None:
+                line = header_fn(line)
+                if line is None:
+                    continue
+            out.write(line + "\n")
+        for group in iter_colocated(variants):
+            result = update_fn(group)
+            if result is None:
+                for v in group:
+                    out.write(v.raw_line + "\n")
+            else:
+                for line in result:
+                    out.write(line + "\n")

@@ -1,0 +1,210 @@
+"""Satellite app tests: Psara, ReformatVcf, VQR, VennVcf, AdaptiveGT."""
+import os
+
+import numpy as np
+import pytest
+
+import conftest
+from pisces_tpu.satellites import adaptive_gt, psara, reformat, vennvcf, vqr
+
+TESTDATA = os.path.join(conftest.REFERENCE_ROOT, "src/test/Pisces.Tests/TestData")
+
+HEADER = """##fileformat=VCFv4.1
+##source=Pisces 5.2.11.163
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Total Depth">
+##FILTER=<ID=q30,Description="Quality score less than 30">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">
+##FORMAT=<ID=AD,Number=.,Type=Integer,Description="Allele Depth">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Total Depth">
+##FORMAT=<ID=VF,Number=.,Type=Float,Description="Variant Frequency">
+##FORMAT=<ID=NL,Number=1,Type=Integer,Description="Noise Level">
+##FORMAT=<ID=SB,Number=1,Type=Float,Description="StrandBias">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+"""
+
+
+def vcf_line(chrom, pos, ref, alt, q=100, filt="PASS", dp=1000, ad="900,100",
+             gt="0/1", gq=100, vf="0.100"):
+    return (f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t{q}\t{filt}\tDP={dp}\t"
+            f"GT:GQ:AD:DP:VF:NL:SB\t{gt}:{gq}:{ad}:{dp}:{vf}:20:-100.0000")
+
+
+def write_vcf(path, lines):
+    with open(path, "w") as f:
+        f.write(HEADER)
+        for l in lines:
+            f.write(l + "\n")
+
+
+class TestPsara:
+    def test_start_position_filter(self, tmp_path):
+        vcf = str(tmp_path / "in.vcf")
+        write_vcf(vcf, [
+            vcf_line("chr1", 100, "A", "T"),
+            vcf_line("chr1", 200, "C", "G"),
+            vcf_line("chr1", 300, "G", "A"),
+        ])
+        roi = str(tmp_path / "roi.picard")
+        with open(roi, "w") as f:
+            f.write("chr1\t150\t250\n")
+        out = str(tmp_path / "out.vcf")
+        psara.filter_vcf(vcf, out, roi)
+        data = [l for l in open(out) if not l.startswith("#")]
+        assert len(data) == 1
+        assert "\t200\t" in data[0]
+
+    def test_expanded_mode_keeps_spanning_deletion(self, tmp_path):
+        vcf = str(tmp_path / "in.vcf")
+        write_vcf(vcf, [
+            vcf_line("chr1", 140, "ACCCCCCCCCCCCC", "A"),  # spans into ROI
+            vcf_line("chr1", 300, "G", "A"),
+        ])
+        roi = str(tmp_path / "roi.picard")
+        with open(roi, "w") as f:
+            f.write("chr1\t150\t250\n")
+        out = str(tmp_path / "out.vcf")
+        psara.filter_vcf(vcf, out, roi, "expanded")
+        data = [l for l in open(out) if not l.startswith("#")]
+        assert len(data) == 1
+        assert "\t140\t" in data[0]
+        # start mode drops it
+        psara.filter_vcf(vcf, out, roi, "start")
+        data = [l for l in open(out) if not l.startswith("#")]
+        assert len(data) == 0
+
+
+class TestReformat:
+    def test_crush_then_uncrush(self, tmp_path):
+        vcf = str(tmp_path / "in.vcf")
+        write_vcf(vcf, [
+            vcf_line("chr1", 100, "A", "T", ad="10,45", vf="0.450"),
+            vcf_line("chr1", 100, "A", "G", ad="10,40", vf="0.400"),
+            vcf_line("chr1", 200, "C", "G"),
+        ])
+        crushed = str(tmp_path / "c.vcf")
+        reformat.reformat(vcf, crushed, crush=True)
+        data = [l for l in open(crushed) if not l.startswith("#")]
+        assert len(data) == 2
+        assert "T,G" in data[0]
+        assert "1/2" in data[0]
+        uncrushed = str(tmp_path / "u.vcf")
+        reformat.reformat(crushed, uncrushed, crush=False)
+        data = [l.split("\t") for l in open(uncrushed) if not l.startswith("#")]
+        assert len(data) == 3
+        assert data[0][4] == "T" and data[1][4] == "G"
+
+
+class TestVqr:
+    def test_inflated_category_recalibrated(self, tmp_path):
+        # build a vcf with strongly inflated C->T counts
+        lines = []
+        pos = 1000
+        rng = np.random.default_rng(0)
+        for i in range(300):
+            pos += 10
+            lines.append(vcf_line("chr1", pos, "C", "T", dp=500, ad="490,10",
+                                  vf="0.020"))
+        # background categories: a couple each
+        for i, (r, a) in enumerate([("A", "C"), ("A", "G"), ("A", "T"),
+                                    ("C", "A"), ("C", "G"), ("G", "A"),
+                                    ("G", "C"), ("G", "T"), ("T", "A"),
+                                    ("T", "C"), ("T", "G")]):
+            pos += 10
+            lines.append(vcf_line("chr1", pos, r, a, dp=500, ad="490,10",
+                                  vf="0.020"))
+        # plenty of ref lines to set the denominator
+        for i in range(2000):
+            pos += 1
+            lines.append(vcf_line("chr1", pos, "A", ".", gt="0/0",
+                                  ad="500", vf="0.000"))
+        vcf = str(tmp_path / "noisy.vcf")
+        write_vcf(vcf, lines)
+        out = vqr.recalibrate_vcf(vcf, str(tmp_path))
+        assert os.path.exists(out)
+        recal = [l for l in open(out) if not l.startswith("#")]
+        orig = [l for l in open(vcf) if not l.startswith("#")]
+        # C->T lines must have dropped q
+        ct_recal = [l for l in recal if "\tC\tT\t" in l]
+        assert ct_recal, "no C>T lines found"
+        for l in ct_recal:
+            q = int(l.split("\t")[5])
+            assert q < 100
+        # other categories untouched
+        ag = [l for l in recal if "\tA\tG\t" in l][0]
+        assert int(ag.split("\t")[5]) == 100
+
+    def test_counts_file_roundtrip(self, tmp_path):
+        counts = vqr.CountData()
+        counts.add("CtoT")
+        counts.add("CtoT")
+        counts.add("Reference")
+        path = str(tmp_path / "x.counts")
+        vqr.write_counts_file(path, counts)
+        back = vqr.read_counts_file(path)
+        assert back.counts_by_category["CtoT"] == 2
+        assert back.num_possible_variants == 3
+
+
+class TestVenn:
+    def test_self_venn(self, tmp_path):
+        vcf = str(tmp_path / "a.vcf")
+        write_vcf(vcf, [
+            vcf_line("chr1", 100, "A", "T", ad="500,500", vf="0.500"),
+            vcf_line("chr1", 200, "C", ".", gt="0/0", ad="1000", vf="0.000"),
+        ])
+        vcf_b = str(tmp_path / "b.vcf")
+        write_vcf(vcf_b, [
+            vcf_line("chr1", 100, "A", "T", ad="500,500", vf="0.500"),
+            vcf_line("chr1", 300, "G", "A", ad="500,500", vf="0.500"),
+        ])
+        paths = vennvcf.do_pairwise_venn(vcf, vcf_b, str(tmp_path / "venn"))
+        both = [l for l in open(paths["both"]) if not l.startswith("#")]
+        a_only = [l for l in open(paths["a_only"]) if not l.startswith("#")]
+        b_only = [l for l in open(paths["b_only"]) if not l.startswith("#")]
+        assert len(both) == 1 and "\t100\t" in both[0]
+        assert len(a_only) == 0
+        assert len(b_only) == 1 and "\t300\t" in b_only[0]
+        cons = [l for l in open(paths["consensus"]) if not l.startswith("#")]
+        agreed = [l for l in cons if "\t100\t" in l]
+        assert agreed and "0/1" in agreed[0]
+        # depths pooled
+        assert "DP=2000" in agreed[0]
+        # one-sided call gets the pool-bias filter
+        one_sided = [l for l in cons if "\t300\t" in l]
+        assert one_sided and "PB" in one_sided[0]
+
+
+class TestAdaptiveGt:
+    def test_recalibrate_synthetic(self, tmp_path):
+        rng = np.random.default_rng(0)
+        lines = []
+        pos = 100
+        true_means = [0.01, 0.45, 0.95]
+        for i in range(900):
+            pos += 7
+            comp = rng.choice(3, p=[0.5, 0.35, 0.15])
+            dp = int(rng.integers(80, 300))
+            ad = int(rng.binomial(dp, true_means[comp]))
+            if ad < 2:
+                lines.append(vcf_line("chr1", pos, "A", ".", gt="0/0",
+                                      ad=str(dp - ad), dp=dp,
+                                      vf=f"{ad/dp:.3f}"))
+            else:
+                gt = "0/1" if comp == 1 else ("1/1" if comp == 2 else "0/1")
+                lines.append(vcf_line("chr1", pos, "A", "T", gt=gt,
+                                      ad=f"{dp-ad},{ad}", dp=dp,
+                                      vf=f"{ad/dp:.3f}"))
+        vcf = str(tmp_path / "g.vcf")
+        write_vcf(vcf, lines)
+        out = adaptive_gt.recalibrate(vcf, str(tmp_path))
+        assert os.path.exists(out)
+        recal = [l for l in open(out) if not l.startswith("#")]
+        assert len(recal) == 900
+        # GP column added
+        assert all("GP" in l.split("\t")[8] for l in recal)
+        # model file written
+        model = str(tmp_path / "g.model")
+        assert os.path.exists(model)
+        models = adaptive_gt.read_model_file(model)
+        assert np.allclose(models[0][0], true_means, atol=0.05)
