@@ -81,7 +81,8 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
                 genome: Genome, out_vcf: Optional[str] = None,
                 use_device: bool = True) -> str:
     options.validate()
-    bam = BamReader(bam_path)
+    from pisces_tpu.io.native import open_bam
+    bam = open_bam(bam_path)
     gvcf = options.vcf_writing_parameters.output_gvcf_file
     if out_vcf is None:
         stem = os.path.basename(bam_path)

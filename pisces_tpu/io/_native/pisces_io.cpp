@@ -1,0 +1,346 @@
+// Native I/O layer: BGZF codec + BAM record decode to columnar arrays.
+//
+// Replaces the reference's native compression library and C# BAM reader
+// (libFileCompression.so P/Invoked from Common.IO/FileCompression.cs;
+// Alignment.IO/BamReader.cs:22-677) with a C++ module that emits columnar
+// read batches (positions, flags, CIGAR op arrays, seq codes, quals) ready
+// for host->device DMA.
+//
+// Build: make -C pisces_tpu/io/_native
+// Binding: ctypes (pisces_tpu/io/native.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct BgzfBlock {
+  size_t file_off;
+  size_t cdata_off;
+  uint32_t cdata_len;
+  uint32_t isize;
+  size_t out_off;
+};
+
+// Scan BGZF block boundaries; returns false on malformed input.
+bool scan_blocks(const uint8_t* data, size_t n, std::vector<BgzfBlock>* blocks,
+                 size_t* total_out) {
+  size_t off = 0;
+  size_t out = 0;
+  while (off + 18 <= n) {
+    if (data[off] != 0x1f || data[off + 1] != 0x8b) return false;
+    uint16_t xlen;
+    memcpy(&xlen, data + off + 10, 2);
+    size_t p = off + 12;
+    size_t extra_end = p + xlen;
+    if (extra_end > n) return false;
+    uint32_t bsize = 0;
+    while (p + 4 <= extra_end) {
+      uint8_t si1 = data[p], si2 = data[p + 1];
+      uint16_t slen;
+      memcpy(&slen, data + p + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, data + p + 4, 2);
+        bsize = bs + 1;
+        break;
+      }
+      p += 4 + slen;
+    }
+    if (bsize == 0 || off + bsize > n) return false;
+    uint32_t cdata_len = bsize - xlen - 19 - 6;  // minus header(12)+extra+crc+isize... computed below
+    // header=10, xlen field=2, extra=xlen, crc=4, isize=4
+    cdata_len = bsize - (12 + xlen + 8);
+    uint32_t isize;
+    memcpy(&isize, data + off + bsize - 4, 4);
+    blocks->push_back({off, off + 12 + xlen, cdata_len, isize, out});
+    out += isize;
+    off += bsize;
+  }
+  *total_out = out;
+  return true;
+}
+
+bool inflate_block(const uint8_t* src, uint32_t src_len, uint8_t* dst,
+                   uint32_t dst_len) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = src_len;
+  zs.next_out = dst;
+  zs.avail_out = dst_len;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END || (ret == Z_OK && zs.avail_out == 0) ||
+         (dst_len == 0);
+}
+
+// seq nibble code -> allele code ('=ACMGRSVTWYHKDBN' -> A0 G1 C2 T3 N4)
+const int8_t kNibbleToAllele[16] = {4, 0, 2, 4, 1, 4, 4, 4,
+                                    3, 4, 4, 4, 4, 4, 4, 4};
+
+const bool kConsumesRead[9] = {true, true, false, false, true,
+                               false, false, true, true};
+const bool kConsumesRef[9] = {true, false, true, true, false,
+                              false, false, true, true};
+
+struct BamFile {
+  std::vector<uint8_t> udata;  // inflated content
+  // header
+  std::string text;
+  std::vector<std::string> ref_names;
+  std::vector<int32_t> ref_lens;
+  size_t records_start = 0;
+  // record index
+  std::vector<size_t> rec_offsets;
+
+  // decoded columnar batch (for the last decode call)
+  std::vector<int32_t> ref_id, pos, end_pos;
+  std::vector<uint8_t> mapq;
+  std::vector<uint16_t> flag;
+  std::vector<int64_t> cigar_off, seq_off;
+  std::vector<uint8_t> cigar_ops;
+  std::vector<int32_t> cigar_lens;
+  std::vector<int8_t> seq;
+  std::vector<uint8_t> qual;
+};
+
+int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  memcpy(&v, p, 2);
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bam_open(const char* path, int n_threads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw(fsize);
+  if (fread(raw.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_blocks(raw.data(), raw.size(), &blocks, &total)) return nullptr;
+
+  auto* bf = new BamFile();
+  bf->udata.resize(total);
+
+  if (n_threads < 1) n_threads = 1;
+  size_t nb = blocks.size();
+  std::vector<std::thread> threads;
+  std::vector<bool> ok(n_threads, true);
+  size_t per = (nb + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = t * per, hi = std::min(nb, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi, t]() {
+      for (size_t i = lo; i < hi; i++) {
+        const auto& b = blocks[i];
+        if (!inflate_block(raw.data() + b.cdata_off, b.cdata_len,
+                           bf->udata.data() + b.out_off, b.isize)) {
+          ok[t] = false;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < (int)threads.size(); t++) {
+    if (!ok[t]) {
+      delete bf;
+      return nullptr;
+    }
+  }
+
+  const uint8_t* d = bf->udata.data();
+  size_t n = bf->udata.size();
+  if (n < 12 || memcmp(d, "BAM\x01", 4) != 0) {
+    delete bf;
+    return nullptr;
+  }
+  int32_t l_text = rd_i32(d + 4);
+  bf->text.assign((const char*)d + 8, l_text);
+  size_t off = 8 + l_text;
+  int32_t n_ref = rd_i32(d + off);
+  off += 4;
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name = rd_i32(d + off);
+    bf->ref_names.emplace_back((const char*)d + off + 4, l_name - 1);
+    bf->ref_lens.push_back(rd_i32(d + off + 4 + l_name));
+    off += 8 + l_name;
+  }
+  bf->records_start = off;
+  while (off + 4 <= n) {
+    int32_t bs = rd_i32(d + off);
+    if (bs <= 0 || off + 4 + bs > n) break;
+    bf->rec_offsets.push_back(off);
+    off += 4 + bs;
+  }
+  return bf;
+}
+
+void bam_close(void* h) { delete (BamFile*)h; }
+
+int bam_n_refs(void* h) { return (int)((BamFile*)h)->ref_names.size(); }
+const char* bam_ref_name(void* h, int i) {
+  return ((BamFile*)h)->ref_names[i].c_str();
+}
+int bam_ref_len(void* h, int i) { return ((BamFile*)h)->ref_lens[i]; }
+int64_t bam_n_records(void* h) {
+  return (int64_t)((BamFile*)h)->rec_offsets.size();
+}
+const char* bam_header_text(void* h) { return ((BamFile*)h)->text.c_str(); }
+int64_t bam_header_text_len(void* h) {
+  return (int64_t)((BamFile*)h)->text.size();
+}
+
+// Decode records mapped to ref_id (-1 = all) into the handle's columnar
+// arrays. Returns number of records decoded.
+int64_t bam_decode(void* h, int want_ref_id) {
+  auto* bf = (BamFile*)h;
+  const uint8_t* d = bf->udata.data();
+
+  bf->ref_id.clear();
+  bf->pos.clear();
+  bf->end_pos.clear();
+  bf->mapq.clear();
+  bf->flag.clear();
+  bf->cigar_off.assign(1, 0);
+  bf->seq_off.assign(1, 0);
+  bf->cigar_ops.clear();
+  bf->cigar_lens.clear();
+  bf->seq.clear();
+  bf->qual.clear();
+
+  for (size_t off : bf->rec_offsets) {
+    const uint8_t* r = d + off + 4;
+    int32_t rid = rd_i32(r);
+    if (want_ref_id >= 0 && rid != want_ref_id) continue;
+    int32_t pos = rd_i32(r + 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    int32_t l_seq = rd_i32(r + 16);
+
+    bf->ref_id.push_back(rid);
+    bf->pos.push_back(pos);
+    bf->mapq.push_back(mapq);
+    bf->flag.push_back(flag);
+
+    const uint8_t* p = r + 32 + l_read_name;
+    int64_t ref_span = 0;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t c = rd_u32(p + 4 * i);
+      uint8_t op = c & 0xF;
+      int32_t len = c >> 4;
+      bf->cigar_ops.push_back(op);
+      bf->cigar_lens.push_back(len);
+      if (op < 9 && kConsumesRef[op]) ref_span += len;
+    }
+    bf->cigar_off.push_back((int64_t)bf->cigar_ops.size());
+    bf->end_pos.push_back(pos + (ref_span > 0 ? ref_span : 1) - 1);
+    p += 4 * n_cigar;
+
+    size_t sbase = bf->seq.size();
+    bf->seq.resize(sbase + l_seq);
+    for (int i = 0; i < l_seq; i++) {
+      uint8_t packed = p[i / 2];
+      uint8_t nib = (i % 2 == 0) ? (packed >> 4) : (packed & 0xF);
+      bf->seq[sbase + i] = kNibbleToAllele[nib];
+    }
+    p += (l_seq + 1) / 2;
+    bf->qual.insert(bf->qual.end(), p, p + l_seq);
+    bf->seq_off.push_back((int64_t)bf->seq.size());
+  }
+  return (int64_t)bf->ref_id.size();
+}
+
+// accessors for the decoded batch (valid until the next bam_decode)
+const int32_t* bam_col_ref_id(void* h) { return ((BamFile*)h)->ref_id.data(); }
+const int32_t* bam_col_pos(void* h) { return ((BamFile*)h)->pos.data(); }
+const int32_t* bam_col_end_pos(void* h) { return ((BamFile*)h)->end_pos.data(); }
+const uint8_t* bam_col_mapq(void* h) { return ((BamFile*)h)->mapq.data(); }
+const uint16_t* bam_col_flag(void* h) { return ((BamFile*)h)->flag.data(); }
+const int64_t* bam_col_cigar_off(void* h) {
+  return ((BamFile*)h)->cigar_off.data();
+}
+const uint8_t* bam_col_cigar_ops(void* h) {
+  return ((BamFile*)h)->cigar_ops.data();
+}
+const int32_t* bam_col_cigar_lens(void* h) {
+  return ((BamFile*)h)->cigar_lens.data();
+}
+const int64_t* bam_col_seq_off(void* h) { return ((BamFile*)h)->seq_off.data(); }
+const int8_t* bam_col_seq(void* h) { return ((BamFile*)h)->seq.data(); }
+const uint8_t* bam_col_qual(void* h) { return ((BamFile*)h)->qual.data(); }
+int64_t bam_total_cigar(void* h) {
+  return (int64_t)((BamFile*)h)->cigar_ops.size();
+}
+int64_t bam_total_bases(void* h) { return (int64_t)((BamFile*)h)->seq.size(); }
+
+// Standalone BGZF helpers (gzip-compatible writer support)
+int64_t bgzf_decompress_size(const uint8_t* data, int64_t n) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_blocks(data, (size_t)n, &blocks, &total)) return -1;
+  return (int64_t)total;
+}
+
+int bgzf_decompress(const uint8_t* data, int64_t n, uint8_t* out,
+                    int64_t out_len, int n_threads) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_blocks(data, (size_t)n, &blocks, &total)) return -1;
+  if ((int64_t)total != out_len) return -2;
+  if (n_threads < 1) n_threads = 1;
+  size_t nb = blocks.size();
+  std::vector<std::thread> threads;
+  size_t per = (nb + n_threads - 1) / n_threads;
+  std::vector<int> rc(n_threads, 0);
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = t * per, hi = std::min(nb, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi, t]() {
+      for (size_t i = lo; i < hi; i++) {
+        const auto& b = blocks[i];
+        if (!inflate_block(data + b.cdata_off, b.cdata_len, out + b.out_off,
+                           b.isize))
+          rc[t] = -3;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int v : rc)
+    if (v != 0) return v;
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,151 @@
+"""ctypes binding for the C++ native I/O module (libpisces_io.so).
+
+Falls back silently to the pure-Python reader when the library has not been
+built; `build()` compiles it with make.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpisces_io.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> bool:
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.bam_open.restype = ctypes.c_void_p
+    lib.bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.bam_close.argtypes = [ctypes.c_void_p]
+    lib.bam_n_refs.argtypes = [ctypes.c_void_p]
+    lib.bam_ref_name.restype = ctypes.c_char_p
+    lib.bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bam_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bam_n_records.restype = ctypes.c_int64
+    lib.bam_n_records.argtypes = [ctypes.c_void_p]
+    lib.bam_header_text.restype = ctypes.c_void_p
+    lib.bam_header_text.argtypes = [ctypes.c_void_p]
+    lib.bam_header_text_len.restype = ctypes.c_int64
+    lib.bam_header_text_len.argtypes = [ctypes.c_void_p]
+    lib.bam_decode.restype = ctypes.c_int64
+    lib.bam_decode.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    for name, ct in [("bam_col_ref_id", ctypes.c_int32),
+                     ("bam_col_pos", ctypes.c_int32),
+                     ("bam_col_end_pos", ctypes.c_int32),
+                     ("bam_col_mapq", ctypes.c_uint8),
+                     ("bam_col_flag", ctypes.c_uint16),
+                     ("bam_col_cigar_off", ctypes.c_int64),
+                     ("bam_col_cigar_ops", ctypes.c_uint8),
+                     ("bam_col_cigar_lens", ctypes.c_int32),
+                     ("bam_col_seq_off", ctypes.c_int64),
+                     ("bam_col_seq", ctypes.c_int8),
+                     ("bam_col_qual", ctypes.c_uint8)]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
+    lib.bam_total_cigar.restype = ctypes.c_int64
+    lib.bam_total_cigar.argtypes = [ctypes.c_void_p]
+    lib.bam_total_bases.restype = ctypes.c_int64
+    lib.bam_total_bases.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def _as_array(ptr, n, dtype):
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+class NativeBamReader:
+    """Native counterpart of io.bam.BamReader with the same fetch() contract."""
+
+    def __init__(self, path: str, n_threads: int = 0):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native io library unavailable")
+        self._lib = lib
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 16)
+        self._h = lib.bam_open(path.encode(), n_threads)
+        if not self._h:
+            raise IOError(f"failed to open {path}")
+        from pisces_tpu.io.bam import BamHeader
+        n_refs = lib.bam_n_refs(self._h)
+        names = [lib.bam_ref_name(self._h, i).decode() for i in range(n_refs)]
+        lens = [lib.bam_ref_len(self._h, i) for i in range(n_refs)]
+        tlen = lib.bam_header_text_len(self._h)
+        text = ctypes.string_at(lib.bam_header_text(self._h), tlen).decode(
+            "utf-8", errors="replace")
+        self.header = BamHeader(text, names, lens)
+        self.path = path
+
+    @property
+    def n_records(self) -> int:
+        return int(self._lib.bam_n_records(self._h))
+
+    def fetch(self, ref_id: Optional[int] = None):
+        from pisces_tpu.io.bam import ReadBatch
+        lib = self._lib
+        n = int(lib.bam_decode(self._h, -1 if ref_id is None else ref_id))
+        total_cigar = int(lib.bam_total_cigar(self._h))
+        total_bases = int(lib.bam_total_bases(self._h))
+        return ReadBatch(
+            n=n,
+            ref_id=_as_array(lib.bam_col_ref_id(self._h), n, np.int32),
+            pos=_as_array(lib.bam_col_pos(self._h), n, np.int32),
+            mapq=_as_array(lib.bam_col_mapq(self._h), n, np.uint8),
+            flag=_as_array(lib.bam_col_flag(self._h), n, np.uint16),
+            cigar_off=_as_array(lib.bam_col_cigar_off(self._h), n + 1, np.int64),
+            cigar_ops=_as_array(lib.bam_col_cigar_ops(self._h), total_cigar,
+                                np.uint8),
+            cigar_lens=_as_array(lib.bam_col_cigar_lens(self._h), total_cigar,
+                                 np.int32),
+            seq_off=_as_array(lib.bam_col_seq_off(self._h), n + 1, np.int64),
+            seq=_as_array(lib.bam_col_seq(self._h), total_bases, np.int8),
+            qual=_as_array(lib.bam_col_qual(self._h), total_bases, np.uint8),
+            end_pos=_as_array(lib.bam_col_end_pos(self._h), n, np.int32),
+        )
+
+    def close(self):
+        if self._h:
+            self._lib.bam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_bam(path: str, prefer_native: bool = True):
+    """Open a BAM with the native reader when available, else Python."""
+    if prefer_native and get_lib() is not None:
+        try:
+            return NativeBamReader(path)
+        except (IOError, RuntimeError):
+            pass
+    from pisces_tpu.io.bam import BamReader
+    return BamReader(path)
