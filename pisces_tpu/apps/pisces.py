@@ -32,28 +32,66 @@ from pisces_tpu.utils.logger import log
 
 
 def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
-                    bam: BamReader, intervals=None, use_device: bool = True):
+                    bam: BamReader, intervals=None, use_device: bool = True,
+                    forced_alleles=None):
     """Run the full calling pipeline for one chromosome; returns the list of
     called alleles in genome order (the per-chromosome unit of P1 parallelism)."""
     cfg = CallerConfig.from_options(options)
     bf = options.bam_filter_parameters
+    track_amplicons = (
+        options.variant_calling_parameters.amplicon_bias_filter_threshold
+        is not None)
+    source_is_stitched = (bam.header.source_is_stitched
+                          or options.use_stitched_xd_info)
+    need_tags = track_amplicons or source_is_stitched
 
     ref_id = bam.header.ref_index(chrom.name)
-    batch = bam.fetch(ref_id=ref_id)
+    try:
+        batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
+    except TypeError:  # native reader: no tag support yet; refetch via python
+        if need_tags:
+            from pisces_tpu.io.bam import BamReader as PyBamReader
+            batch = PyBamReader(bam.path).fetch(ref_id=ref_id, parse_tags=True)
+        else:
+            batch = bam.fetch(ref_id=ref_id)
     keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
                         bf.only_use_proper_pairs)
 
+    base_dirs = None
+    if source_is_stitched and batch.xd_tags is not None:
+        from pisces_tpu.pileup.directions import batch_base_directions
+        base_dirs = batch_base_directions(batch, keep)
+
     ev = build_base_events(batch, keep, bf.minimum_base_call_quality,
-                           options.tracked_anchor_size)
+                           options.tracked_anchor_size, base_dirs=base_dirs)
     builder = build_counts_device if use_device else build_counts_host
     pc = builder(ev, anchor_size=options.tracked_anchor_size)
-    source = AlleleSource(pc)
+
+    amp_cov = None
+    if track_amplicons:
+        from pisces_tpu.pileup.amplicons import amplicon_coverage
+        amp_cov = amplicon_coverage(batch, keep, bf.minimum_base_call_quality)
+    source = AlleleSource(pc, expect_stitched_reads=source_is_stitched,
+                          amplicon_coverage=amp_cov)
 
     candidates, _ = find_candidates_batch(
         chrom.name, chrom.sequence, batch, keep,
         bf.minimum_base_call_quality, options.call_mnvs, options.max_size_mnv,
         options.max_gap_between_mnv, options.tracked_anchor_size,
-        track_open_ended=options.collapse)
+        track_open_ended=options.collapse, track_amplicons=track_amplicons)
+
+    if forced_alleles:
+        from pisces_tpu.pileup.candidates import Candidate
+        from pisces_tpu.io.vcf_read import classify
+        existing = {(c.position, c.ref_allele, c.alt_allele) for c in candidates}
+        for (chrom_name, pos, ref, alt) in sorted(forced_alleles):
+            if chrom_name != chrom.name:
+                continue
+            if (pos, ref, alt) in existing:
+                continue
+            fc = Candidate(chrom.name, pos, ref, alt, classify(ref, alt))
+            fc.is_forced = True
+            candidates.append(fc)
 
     if options.vcf_writing_parameters.output_gvcf_file:
         candidates = candidates + make_reference_candidates(
@@ -67,6 +105,8 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             options.collapse_freq_threshold, options.collapse_freq_ratio_threshold)
 
     caller = AlleleCaller(cfg, chrom.sequence, collapser, intervals)
+    if forced_alleles:
+        caller.forced_alleles = {f for f in forced_alleles if f[0] == chrom.name}
     by_position = caller.call(candidates, source, max_position=None)
 
     out: List = []
@@ -74,6 +114,25 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         out.extend(by_position[pos])
     log(f"{chrom.name}: {caller.total_num_called} alleles called. "
         f"{caller.total_num_collapsed} variants collapsed.")
+    return out
+
+
+def load_forced_alleles(paths: List[str]) -> set:
+    """Factory.GetForcedAlleles: load (chrom, pos, ref, alt) tuples from VCFs,
+    rejecting invalid alts."""
+    from pisces_tpu.io.vcf_read import read_header_and_variants
+    out = set()
+    for path in paths:
+        _, variants = read_header_and_variants(path)
+        for v in variants:
+            for alt in v.alt_allele.split(","):
+                ref = v.ref_allele.upper()
+                a = alt.upper()
+                if a == ref or any(ch not in "ACGT" for ch in a):
+                    log(f"Invalid forced genotyping variant: {v.chrom}:"
+                        f"{v.position} {ref}>{a}")
+                    continue
+                out.add((v.chrom, v.position, ref, a))
     return out
 
 
@@ -93,8 +152,22 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
         os.makedirs(out_dir, exist_ok=True)
         out_vcf = os.path.join(out_dir, stem + suffix)
 
-    wcfg = VcfWriterConfig(options)
+    forced_alleles = (load_forced_alleles(options.forced_alleles_paths)
+                      if options.forced_alleles_paths else None)
+
+    wcfg = VcfWriterConfig(options, has_forced_gt=bool(forced_alleles))
     sample = os.path.basename(bam_path).split(".")[0]
+    bias_writer = None
+    amp_bias_writer = None
+    if options.output_bias_files:
+        from pisces_tpu.io.bias_writers import (
+            AmpliconBiasFileWriter, StrandBiasFileWriter,
+        )
+        bias_writer = StrandBiasFileWriter(out_vcf)
+        bias_writer.write_header()
+        amp_bias_writer = AmpliconBiasFileWriter(out_vcf)
+        amp_bias_writer.write_header()
+
     with VcfWriter(out_vcf, wcfg, genome.directory, sample,
                    genome.chromosome_lengths, options.command_line) as writer:
         writer.write_header()
@@ -108,12 +181,19 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             chrom = genome.get_chr_reference(chrom_name)
             intervals = _load_intervals(options, chrom_name)
             t0 = time.time()
-            alleles = call_chromosome(options, chrom, bam, intervals, use_device)
+            alleles = call_chromosome(options, chrom, bam, intervals,
+                                      use_device, forced_alleles)
             mapper = make_region_mapper(options, chrom, intervals)
             writer.write(alleles, mapper)
             writer.write_remaining(mapper)
+            if bias_writer is not None:
+                bias_writer.write(alleles)
+                amp_bias_writer.write(alleles)
             log(f"Completed processing chr {chrom_name} in "
                 f"{time.time() - t0:.2f} secs")
+    if bias_writer is not None:
+        bias_writer.close()
+        amp_bias_writer.close()
     return out_vcf
 
 

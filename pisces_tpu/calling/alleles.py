@@ -104,6 +104,8 @@ def map_candidate(c: Candidate) -> CalledAllele:
     a.support_by_direction = c.support_by_direction.copy()
     a.well_anchored_by_direction = c.well_anchored_by_direction.copy()
     a.is_forced_to_report = c.is_forced
+    if c.support_by_amplicon:
+        a.support_by_amplicon = dict(c.support_by_amplicon)
     if a.category == AlleleCategory.REFERENCE:
         a.genotype = Genotype.HOMOZYGOUS_REF
     else:

@@ -161,6 +161,19 @@ class AlleleCaller:
             a.strand_bias_acceptable = bool(sb["bias_acceptable"][0])
             a.var_present_on_both_strands = bool(sb["var_present_on_both_strands"][0])
             a.cov_present_on_both_strands = bool(sb["cov_present_on_both_strands"][0])
+            a.sb_detail = sb
+
+            if (cfg.amplicon_bias_filter_threshold is not None
+                    and a.category == AlleleCategory.SNV):
+                from pisces_tpu.ops.amplicon_bias import calculate_amplicon_bias
+                support_by_amp = getattr(a, "support_by_amplicon", None) or {}
+                cov_by_amp = source.get_amplicon_coverage(a.position)
+                ab = calculate_amplicon_bias(
+                    support_by_amp, cov_by_amp,
+                    cfg.amplicon_bias_filter_threshold, cfg.max_variant_qscore)
+                if ab is not None:
+                    a.amplicon_bias_detected = ab["bias_detected"]
+                    a.amplicon_bias_results = ab["results"]
 
         self._apply_filters(a)
 

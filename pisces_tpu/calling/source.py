@@ -14,11 +14,17 @@ from pisces_tpu.pileup.counts import PileupCounts, anchor_window_sum
 
 
 class AlleleSource:
-    def __init__(self, counts: PileupCounts, expect_stitched_reads: bool = False):
+    def __init__(self, counts: PileupCounts, expect_stitched_reads: bool = False,
+                 amplicon_coverage: Optional[Dict[int, Dict[str, int]]] = None):
         self.pc = counts
         self.expect_stitched_reads = expect_stitched_reads
         self.gapped_mnv_ref_counts: Dict[int, int] = {}
+        self.amplicon_coverage = amplicon_coverage or {}
         self._flat_counts, self._flat_quals = counts.flat_view()
+
+    def get_amplicon_coverage(self, position: int) -> Dict[str, int]:
+        """GetCoverageByAmplicon equivalent (RegionState amplicon slots)."""
+        return self.amplicon_coverage.get(position, {})
 
     def get_allele_count(self, position: int, allele_type: int, direction: int,
                          min_anchor: int = 0, max_anchor: Optional[int] = None,

@@ -63,6 +63,8 @@ class ReadBatch:
     seq: np.ndarray         # int8 allele codes [total_bases]
     qual: np.ndarray        # uint8 [total_bases]
     end_pos: np.ndarray     # int32 [n] 0-based inclusive end (last ref-consumed base)
+    xd_tags: Optional[list] = None  # per-read stitched direction strings (XD)
+    xn_tags: Optional[list] = None  # per-read amplicon names (XN)
 
     def read_len(self, i: int) -> int:
         return int(self.seq_off[i + 1] - self.seq_off[i])
@@ -141,7 +143,34 @@ class BamReader:
     def n_records(self) -> int:
         return len(self._scan_record_offsets()) - 1
 
-    def fetch(self, ref_id: Optional[int] = None) -> ReadBatch:
+    @staticmethod
+    def _parse_string_tags(d: bytes, p: int, rec_end: int) -> Dict[str, str]:
+        """Extract Z-typed tags (XD stitched directions, XN amplicon, XR/XW
+        UMI) from a record's tag block."""
+        _TYPE_SIZE = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+                      ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+        out: Dict[str, str] = {}
+        while p + 3 <= rec_end:
+            tag = d[p:p + 2].decode("ascii", errors="replace")
+            typ = d[p + 2]
+            p += 3
+            if typ in _TYPE_SIZE:
+                p += _TYPE_SIZE[typ]
+            elif typ in (ord("Z"), ord("H")):
+                end = d.index(b"\x00", p, rec_end) if b"\x00" in d[p:rec_end] else rec_end
+                if tag in ("XD", "XN", "XR", "XW", "XU"):
+                    out[tag] = d[p:end].decode("ascii", errors="replace")
+                p = end + 1
+            elif typ == ord("B"):
+                sub = d[p]
+                count = struct.unpack_from("<i", d, p + 1)[0]
+                p += 5 + _TYPE_SIZE.get(sub, 1) * count
+            else:
+                break
+        return out
+
+    def fetch(self, ref_id: Optional[int] = None,
+              parse_tags: bool = False) -> ReadBatch:
         """Decode records (optionally only those mapped to ref_id) into a batch."""
         d = self._data
         offsets = self._scan_record_offsets()
@@ -175,6 +204,8 @@ class BamReader:
         seq_l: List[np.ndarray] = []
         qual_l: List[np.ndarray] = []
         end_pos = np.empty(m, dtype=np.int32)
+        xd_tags: Optional[list] = [] if parse_tags else None
+        xn_tags: Optional[list] = [] if parse_tags else None
 
         for j, i in enumerate(idx):
             off = int(offsets[i])
@@ -194,6 +225,12 @@ class BamReader:
             seq_codes = SEQ_CODE_TO_ALLELE[nibbles[:l_seq]]
             p += nb
             quals = np.frombuffer(d, dtype=np.uint8, count=l_seq, offset=p).copy()
+            p += l_seq
+            if parse_tags:
+                block_size = struct.unpack_from("<i", d, off)[0]
+                tags = self._parse_string_tags(d, p, off + 4 + block_size)
+                xd_tags.append(tags.get("XD"))
+                xn_tags.append(tags.get("XN"))
 
             cigar_ops_l.append(ops)
             cigar_lens_l.append(lens)
@@ -217,6 +254,8 @@ class BamReader:
             seq=np.concatenate(seq_l) if m else np.empty(0, np.int8),
             qual=np.concatenate(qual_l) if m else np.empty(0, np.uint8),
             end_pos=end_pos,
+            xd_tags=xd_tags,
+            xn_tags=xn_tags,
         )
 
 

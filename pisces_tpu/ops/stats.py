@@ -167,12 +167,15 @@ def compute_strand_bias(support_by_dir, coverage_by_dir, q_noise, min_variant_fr
     min_detectable = error_rate if model != int(StrandBiasModel.DIPLOID) else min_variant_freq
 
     # int division by 2 (C# semantics) for stitched reallocation
-    ov_cfp, ov_cvfgz, _ = _populate_stats(
-        fwd_s + rev_s + sti_s, fwd_c + rev_c + sti_c, error_rate, min_detectable, model)
-    fw_cfp, fw_cvfgz, _ = _populate_stats(
-        fwd_s + sti_s // 2, fwd_c + sti_c // 2, error_rate, min_detectable, model)
-    rv_cfp, rv_cvfgz, _ = _populate_stats(
-        rev_s + sti_s // 2, rev_c + sti_c // 2, error_rate, min_detectable, model)
+    ov_s, ov_c = fwd_s + rev_s + sti_s, fwd_c + rev_c + sti_c
+    fw_s, fw_c = fwd_s + sti_s // 2, fwd_c + sti_c // 2
+    rv_s, rv_c = rev_s + sti_s // 2, rev_c + sti_c // 2
+    ov_cfp, ov_cvfgz, ov_cfn = _populate_stats(ov_s, ov_c, error_rate,
+                                               min_detectable, model)
+    fw_cfp, fw_cvfgz, fw_cfn = _populate_stats(fw_s, fw_c, error_rate,
+                                               min_detectable, model)
+    rv_cfp, rv_cvfgz, rv_cfn = _populate_stats(rv_s, rv_c, error_rate,
+                                               min_detectable, model)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         forward_bias = fw_cvfgz * rv_cfp / ov_cvfgz
@@ -192,12 +195,21 @@ def compute_strand_bias(support_by_dir, coverage_by_dir, q_noise, min_variant_fr
     gatk = np.where(cov_both, gatk, -np.inf)
     acceptable = bias_score < acceptance_criteria
 
+    def _stats(s, c, cfp, cfn):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            freq = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+        return {"support": s, "coverage": c, "frequency": freq,
+                "chance_false_pos": cfp, "chance_false_neg": cfn}
+
     return {
         "bias_score": bias_score,
         "gatk_bias_score": gatk,
         "bias_acceptable": acceptable,
         "var_present_on_both_strands": var_both,
         "cov_present_on_both_strands": cov_both,
+        "overall": _stats(ov_s, ov_c, ov_cfp, ov_cfn),
+        "forward": _stats(fw_s, fw_c, fw_cfp, fw_cfn),
+        "reverse": _stats(rv_s, rv_c, rv_cfp, rv_cfn),
     }
 
 

@@ -49,6 +49,7 @@ class Candidate:
     is_known: bool = False
     is_forced: bool = False
     frequency: float = 0.0  # scratch, used by collapser
+    support_by_amplicon: Optional[Dict[str, int]] = None
 
     @property
     def support(self) -> int:
@@ -110,6 +111,12 @@ class CandidateAggregator:
         else:
             existing.support_by_direction += cand.support_by_direction
             existing.well_anchored_by_direction += cand.well_anchored_by_direction
+            if cand.support_by_amplicon:
+                if existing.support_by_amplicon is None:
+                    existing.support_by_amplicon = {}
+                for name, n in cand.support_by_amplicon.items():
+                    existing.support_by_amplicon[name] = (
+                        existing.support_by_amplicon.get(name, 0) + n)
 
     def add_counts(self, cand: Candidate, direction: int, well_anchored: bool,
                    count: int = 1) -> None:
@@ -143,18 +150,30 @@ def find_candidates_read(
     ops: np.ndarray, lens: np.ndarray,
     seq: np.ndarray,             # int8 allele codes
     qual: np.ndarray,
-    direction: int,
+    direction,                   # int (uniform) or int8 array per base
     min_bq: int,
     call_mnvs: bool,
     max_mnv_len: int,
     max_gap: int,
     anchor_size: int,
+    expanded_info=None,          # (expanded_dirs, expanded_index_of) for XD reads
+    amplicon_name=None,          # XN tag; tracked for SNV/MNV candidates only
 ) -> List[Candidate]:
     """Exact per-read candidate state machine (ProcessCigarOps)."""
     candidates: List[Candidate] = []
     ref_len = len(refseq)
     start_read = 0
     start_ref0 = pos1 - 1  # 0-based
+
+    uniform_dir = None if isinstance(direction, np.ndarray) else int(direction)
+
+    def _support_dir(category: AlleleCategory, start_idx: int, alt_len: int) -> int:
+        if uniform_dir is not None:
+            return uniform_dir
+        from pisces_tpu.pileup.directions import support_direction
+        exp_d, exp_i = expanded_info if expanded_info is not None else (None, None)
+        return support_direction(int(category), direction, start_idx, alt_len,
+                                 exp_d, exp_i)
 
     def flush(var_start_read: int, var_start_ref0: int, var_len: int,
               intervening: int, open_left: bool, open_right: bool):
@@ -167,9 +186,12 @@ def find_candidates_read(
             cat = AlleleCategory.MNV if var_len > 1 else AlleleCategory.SNV
             c = Candidate(chrom, var_start_ref0 + 1, ref_bases, alt_bases, cat,
                           open_on_left=open_left, open_on_right=open_right)
-            c.support_by_direction[direction] = 1
+            d = _support_dir(cat, var_start_read, len(alt_bases))
+            c.support_by_direction[d] = 1
             if _well_anchored(c.position, pos1, end1, len(alt_bases), anchor_size):
-                c.well_anchored_by_direction[direction] = 1
+                c.well_anchored_by_direction[d] = 1
+            if amplicon_name:
+                c.support_by_amplicon = {amplicon_name: 1}
             candidates.append(c)
 
     def should_build(mnv_len: int, intervening: int, ref_next: bool) -> bool:
@@ -234,9 +256,10 @@ def find_candidates_read(
                     added = ALLELE_CHARS[seq[start_read:start_read + ln]].tobytes().decode()
                     c = Candidate(chrom, start_ref0, ref_base, ref_base + added,
                                   AlleleCategory.INSERTION)
-                    c.support_by_direction[direction] = 1
+                    d = _support_dir(AlleleCategory.INSERTION, start_read, ln + 1)
+                    c.support_by_direction[d] = 1
                     if _well_anchored(c.position, pos1, end1, ln, anchor_size):
-                        c.well_anchored_by_direction[direction] = 1
+                        c.well_anchored_by_direction[d] = 1
                     candidates.append(c)
         elif op == OP_D:
             if not (start_ref0 + ln >= ref_len):
@@ -248,9 +271,10 @@ def find_candidates_read(
                         ref_bases = refseq[start_ref0 - 1:start_ref0 + ln].tobytes().decode()
                         c = Candidate(chrom, start_ref0, ref_bases, ref_bases[0],
                                       AlleleCategory.DELETION)
-                        c.support_by_direction[direction] = 1
+                        d = _support_dir(AlleleCategory.DELETION, start_read, 1)
+                        c.support_by_direction[d] = 1
                         if _well_anchored(c.position, pos1, end1, ln, anchor_size):
-                            c.well_anchored_by_direction[direction] = 1
+                            c.well_anchored_by_direction[d] = 1
                         candidates.append(c)
         # advance cursors
         if op in (OP_M, OP_I, OP_S, 7, 8):
@@ -309,6 +333,7 @@ def find_candidates_batch(
     max_gap: int = 1,
     anchor_size: int = 5,
     track_open_ended: bool = True,
+    track_amplicons: bool = False,
 ) -> Tuple[List[Candidate], CandidateAggregator]:
     """Find + aggregate candidates for all kept reads of a batch."""
     from pisces_tpu.domain.types import BASE_TO_ALLELE
@@ -319,12 +344,26 @@ def find_candidates_batch(
     for i in kept:
         s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
         qs, qe = batch.seq_off[i], batch.seq_off[i + 1]
+        xd = batch.xd_tags[i] if batch.xd_tags is not None else None
+        if xd:
+            from pisces_tpu.pileup.directions import (
+                expanded_maps, sequenced_direction_map)
+            dir_arg = sequenced_direction_map(
+                xd, batch.cigar_ops[s:e], batch.cigar_lens[s:e])
+            exp_info = expanded_maps(xd, batch.cigar_ops[s:e],
+                                     batch.cigar_lens[s:e])
+        else:
+            dir_arg = int(dirs[i])
+            exp_info = None
         cands = find_candidates_read(
             chrom, refseq, refseq_codes,
             int(batch.pos[i]) + 1, int(batch.end_pos[i]) + 1,
             batch.cigar_ops[s:e], batch.cigar_lens[s:e],
             batch.seq[qs:qe], batch.qual[qs:qe],
-            int(dirs[i]), min_bq, call_mnvs, max_mnv_len, max_gap, anchor_size)
+            dir_arg, min_bq, call_mnvs, max_mnv_len, max_gap, anchor_size,
+            expanded_info=exp_info,
+            amplicon_name=(batch.xn_tags[i] if (track_amplicons
+                           and batch.xn_tags is not None) else None))
         for c in cands:
             agg.add(c)
     return agg.candidates(), agg

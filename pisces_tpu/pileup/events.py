@@ -124,9 +124,15 @@ def anchor_indexes(gpos, start_pos, end_pos, anchor_size: int) -> np.ndarray:
 
 
 def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
-                      anchor_size: int) -> BaseEvents:
+                      anchor_size: int,
+                      base_dirs: np.ndarray = None) -> BaseEvents:
     """Generate the full pileup event stream (mapped bases + deletion gaps +
-    terminal deletions) for the kept reads."""
+    terminal deletions) for the kept reads.
+
+    base_dirs: optional per-sequenced-base direction codes (stitched XD
+    support, pileup/directions.batch_base_directions); defaults to per-read
+    strand directions.
+    """
     ex = expand_batch(batch, keep)
     dirs = read_directions(batch)
     num_idx = 2 * anchor_size + 1
@@ -143,7 +149,7 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
     allele = batch.seq[m_seq].astype(np.int8)
     allele = np.where(quals < min_base_quality, np.int8(AlleleType.N), allele)
     anchor = anchor_indexes(m_gpos, start1[m_read], end1[m_read], anchor_size)
-    direction = dirs[m_read]
+    direction = base_dirs[m_seq] if base_dirs is not None else dirs[m_read]
     qerr = QUAL_TO_ERR[quals].astype(np.float32)
 
     # --- deletion gap events -------------------------------------------------
@@ -204,8 +210,14 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
         last_mapped = int(end1[i]) if not ends_in_d else int(end1[i]) - dlen
         if ends_in_d_before_s:
             last_mapped = int(end1[i]) - dlen
+        if base_dirs is not None:
+            # direction of the check-index base (reference semantics)
+            di = min(chk_idx, rl - 1)
+            t_direction = np.int8(base_dirs[batch.seq_off[i] + di])
+        else:
+            t_direction = dirs[i]
         t_gpos_l.append(np.arange(last_mapped + 1, last_mapped + dlen + 1, dtype=np.int64))
-        t_dir_l.append(np.full(dlen, dirs[i], dtype=np.int8))
+        t_dir_l.append(np.full(dlen, t_direction, dtype=np.int8))
         t_anchor_l.append(np.full(dlen, num_idx - 1, dtype=np.int8))
 
     t_gpos = np.concatenate(t_gpos_l) if t_gpos_l else np.empty(0, np.int64)
