@@ -1,0 +1,117 @@
+"""BAM writing (BamWriter / BamWriterInMem equivalents).
+
+Reference: src/lib/Alignment.IO/BamWriter.cs:1-366, BamWriterInMem.cs
+(in-memory sort then write). Emits BGZF-compressed BAM with .bai-compatible
+sorting; used by tests, the future stitcher/realigner outputs, and utilities.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pisces_tpu.io import bgzf
+from pisces_tpu.domain.types import ALLELE_TO_BASE
+
+# char -> 4-bit nibble code in '=ACMGRSVTWYHKDBN'
+_NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _encode_seq(seq: str) -> bytes:
+    out = bytearray((len(seq) + 1) // 2)
+    for i, ch in enumerate(seq.upper()):
+        nib = _NIBBLE.get(ch, 15)
+        if i % 2 == 0:
+            out[i // 2] = nib << 4
+        else:
+            out[i // 2] |= nib
+    return bytes(out)
+
+
+class BamRecord:
+    def __init__(self, name: str, ref_id: int, pos0: int, mapq: int, flag: int,
+                 cigar: Sequence[Tuple[int, int]], seq: str, qual: Sequence[int],
+                 next_ref_id: int = -1, next_pos: int = -1, tlen: int = 0,
+                 tags: Optional[Dict[str, str]] = None):
+        self.name = name
+        self.ref_id = ref_id
+        self.pos0 = pos0
+        self.mapq = mapq
+        self.flag = flag
+        self.cigar = list(cigar)  # [(op_code, length)]
+        self.seq = seq
+        self.qual = list(qual)
+        self.next_ref_id = next_ref_id
+        self.next_pos = next_pos
+        self.tlen = tlen
+        self.tags = tags or {}
+
+    def encode(self) -> bytes:
+        name_b = self.name.encode() + b"\x00"
+        n_cigar = len(self.cigar)
+        l_seq = len(self.seq)
+        # bin: use 0 (readers we care about ignore it; samtools recomputes)
+        body = struct.pack("<iiBBHHHiiii", self.ref_id, self.pos0,
+                           len(name_b), self.mapq, 0, n_cigar, self.flag,
+                           l_seq, self.next_ref_id, self.next_pos, self.tlen)
+        body += name_b
+        for op, ln in self.cigar:
+            body += struct.pack("<I", (ln << 4) | op)
+        body += _encode_seq(self.seq)
+        body += bytes(min(q, 255) for q in self.qual)
+        for tag, value in self.tags.items():
+            body += tag.encode()[:2] + b"Z" + value.encode() + b"\x00"
+        return struct.pack("<i", len(body)) + body
+
+
+def parse_cigar_string(cigar: str) -> List[Tuple[int, int]]:
+    import re
+    return [(_CIGAR_OPS.index(op), int(n))
+            for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar)]
+
+
+class BamWriter:
+    """In-memory sort + write (BamWriterInMem pattern)."""
+
+    def __init__(self, path: str, ref_names: Sequence[str],
+                 ref_lengths: Sequence[int], extra_header_text: str = ""):
+        self.path = path
+        self.ref_names = list(ref_names)
+        self.ref_lengths = list(ref_lengths)
+        self.extra_header_text = extra_header_text
+        self.records: List[BamRecord] = []
+
+    def add(self, record: BamRecord) -> None:
+        self.records.append(record)
+
+    def add_read(self, name: str, chrom: str, pos1: int, cigar: str, seq: str,
+                 qual=30, flag: int = 0, mapq: int = 60,
+                 tags: Optional[Dict[str, str]] = None) -> None:
+        if isinstance(qual, int):
+            qual = [qual] * len(seq)
+        self.add(BamRecord(name, self.ref_names.index(chrom), pos1 - 1, mapq,
+                           flag, parse_cigar_string(cigar), seq, qual,
+                           tags=tags))
+
+    def header_bytes(self) -> bytes:
+        text = "@HD\tVN:1.6\tSO:coordinate\n"
+        for name, length in zip(self.ref_names, self.ref_lengths):
+            text += f"@SQ\tSN:{name}\tLN:{length}\n"
+        text += self.extra_header_text
+        tb = text.encode()
+        out = b"BAM\x01" + struct.pack("<i", len(tb)) + tb
+        out += struct.pack("<i", len(self.ref_names))
+        for name, length in zip(self.ref_names, self.ref_lengths):
+            nb = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        return out
+
+    def write(self, sort: bool = True) -> str:
+        if sort:
+            self.records.sort(key=lambda r: (r.ref_id, r.pos0))
+        payload = self.header_bytes() + b"".join(r.encode() for r in self.records)
+        with open(self.path, "wb") as f:
+            f.write(bgzf.compress(payload))
+        return self.path

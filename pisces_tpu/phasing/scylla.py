@@ -1,0 +1,613 @@
+"""Scylla: MNV phasing application.
+
+Port of exe/Scylla + VariantPhasing/Logic: takes a Pisces (g)VCF + BAM,
+builds neighborhoods of proximal passing variants (<=50bp), compresses reads
+to veads, clusters them, extracts phased MNVs from cluster consensus
+(PhasedVariantExtractor), rescores via the shared Poisson q-score machinery,
+and merges phased calls back into the VCF stream (VcfMerger).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pisces_tpu.domain.types import AlleleCategory, FilterType, Genotype
+from pisces_tpu.calling.alleles import CalledAllele
+from pisces_tpu.ops import stats
+from pisces_tpu.io.bam import CIGAR_OPS
+from pisces_tpu.io.vcf_read import (
+    VcfVariant, iter_colocated, read_header_and_variants, to_called_alleles,
+)
+from pisces_tpu.phasing.clustering import (
+    Cluster, ClusteringParameters, NeighborhoodClusterer, SetOfClusters,
+)
+from pisces_tpu.phasing.models import (
+    Vead, VeadFinder, VeadGroup, VariantSite, depth_at_sites,
+)
+from pisces_tpu.utils.logger import log
+
+ALLELE_CHARS = np.frombuffer(b"AGCTN-", dtype=np.uint8)
+
+
+@dataclass
+class PhasableVariantCriteria:
+    passing_variants_only: bool = True
+    het_variants_only: bool = False
+    phasing_distance: int = 50
+    chrs_to_process: tuple = ()
+    min_passing_variants_in_nbhd: int = 0
+
+
+@dataclass
+class Neighborhood:
+    """VcfNeighborhood + CallableNeighborhood."""
+
+    chrom: str
+    sites: List[VariantSite]
+    id: str = ""
+    reference_substring: str = ""
+    first_position_of_interest: int = 0
+    last_position_in_vcf: int = 0
+    last_position_with_lookahead: int = 0
+    accepted: List[CalledAllele] = field(default_factory=list)
+    rejected: List[CalledAllele] = field(default_factory=list)
+    used_ref_counts: Dict[int, Tuple[int, CalledAllele]] = field(default_factory=dict)
+    called_variants: Dict[int, List[CalledAllele]] = field(default_factory=dict)
+    called_refs: Dict[int, CalledAllele] = field(default_factory=dict)
+
+    def set_range_of_interest(self, refseq: Optional[np.ndarray]) -> None:
+        self.sites.sort(key=lambda s: s.true_first_base_of_diff)
+        self.first_position_of_interest = self.sites[0].position
+        self.last_position_in_vcf = self.sites[-1].position
+        look = self.sites[0].position
+        for vs in self.sites:
+            la = vs.position + max(len(vs.alt), len(vs.ref))
+            look = max(look, la)
+        self.last_position_with_lookahead = look
+        n = self.last_position_with_lookahead - self.first_position_of_interest
+        if refseq is None:
+            self.reference_substring = "R" * n
+        else:
+            s = self.first_position_of_interest - 1
+            self.reference_substring = refseq[s:s + n].tobytes().decode()
+
+    def original_vcf_variants(self) -> List[CalledAllele]:
+        return [s.original_allele for s in self.sites if s.original_allele]
+
+
+def build_neighborhoods(alleles_stream, criteria: PhasableVariantCriteria
+                        ) -> List[Neighborhood]:
+    """NeighborhoodBuilder over an iterator of CalledAllele (vcf order)."""
+    neighborhoods: List[Neighborhood] = []
+    last_site: Optional[VariantSite] = None
+    nbhd_count = 0
+
+    def eligible(a: CalledAllele) -> bool:
+        if criteria.chrs_to_process and a.chromosome not in criteria.chrs_to_process:
+            return False
+        if a.is_ref_type or a.is_nocall:
+            return False
+        if a.category == AlleleCategory.UNSUPPORTED:
+            return False
+        if criteria.het_variants_only and a.genotype == Genotype.HOMOZYGOUS_ALT:
+            return False
+        if not criteria.passing_variants_only:
+            return True
+        return len(a.filters) == 0
+
+    for allele in alleles_stream:
+        if FilterType.FORCED_REPORT in allele.filters:
+            continue
+        site = VariantSite(allele.position, allele.ref_allele,
+                           allele.alt_allele, allele.chromosome, allele,
+                           is_passing=len(allele.filters) == 0)
+        if not eligible(allele):
+            last_site = site
+            continue
+        if (last_site is not None and last_site.chrom == site.chrom
+                and abs(site.position - last_site.position) < criteria.phasing_distance
+                and last_site.original_allele is not None):
+            if (neighborhoods
+                    and neighborhoods[-1].chrom == site.chrom
+                    and neighborhoods[-1].sites[-1].position == last_site.position):
+                neighborhoods[-1].sites.append(site)
+            else:
+                nbhd_count += 1
+                nb = Neighborhood(site.chrom, [last_site, site],
+                                  id=f"NbhdNum{nbhd_count - 1}_{site.chrom}_"
+                                     f"{last_site.position}")
+                neighborhoods.append(nb)
+        last_site = site
+
+    return neighborhoods
+
+
+# ---------------------------------------------------------------------------
+# Phased variant extraction (PhasedVariantExtractor)
+# ---------------------------------------------------------------------------
+
+def _num_trailing_agreement(ref: str, alt: str) -> int:
+    n = 0
+    while (n < len(ref) and n < len(alt)
+           and ref[len(ref) - 1 - n] == alt[len(alt) - 1 - n]):
+        n += 1
+    return n
+
+
+def _num_preceding_agreement(ref: str, alt: str) -> int:
+    n = 0
+    while n < len(ref) and n < len(alt) and ref[n] == alt[n]:
+        n += 1
+    return n
+
+
+def create_allele(chrom: str, pos: int, ref: str, alt: str, var_count: int,
+                  nocall_count: int, total_coverage: int, ref_support: int,
+                  category: AlleleCategory, noise_level: int,
+                  max_q: int) -> CalledAllele:
+    """PhasedVariantExtractor.Create."""
+    if total_coverage < var_count:
+        total_coverage = var_count
+    if category == AlleleCategory.REFERENCE:
+        ref_support = var_count
+    a = CalledAllele(chrom, pos, ref, alt, category)
+    a.total_coverage = total_coverage
+    a.allele_support = var_count
+    a.reference_support = ref_support
+    a.num_no_calls = nocall_count
+    a.variant_qscore = int(stats.assign_poisson_qscore(
+        np.array([var_count]), np.array([total_coverage]), noise_level, max_q)[0])
+    a.noise_level_applied = noise_level
+    a.genotype = (Genotype.HOMOZYGOUS_REF if category == AlleleCategory.REFERENCE
+                  else Genotype.HETEROZYGOUS_ALT_REF)
+    a.set_fraction_no_calls()
+    return a
+
+
+def extract_phased_allele(cluster_sites: List[VariantSite], reference: str,
+                          depths: np.ndarray, nocalls: np.ndarray,
+                          cluster_ref_support: int, counts: np.ndarray,
+                          chrom: str, noise_level: int, max_q: int,
+                          anchor_position: int = -1
+                          ) -> Tuple[CalledAllele, Dict[int, int]]:
+    """PhasedVariantExtractor.Extract."""
+    reference_removal: Dict[int, int] = {}
+    allele_ref = ""
+    allele_alt = ""
+    sucked_up: List[int] = []
+    depths_in, counts_in, nocalls_in = [], [], []
+
+    last_ref_base = cluster_sites[0].position
+    first_variant_pos = cluster_sites[0].position
+    started = False
+    using_anchor = anchor_position != -1
+    if using_anchor:
+        last_ref_base = anchor_position - 1
+
+    for i, site in enumerate(cluster_sites):
+        ref_add = site.true_ref
+        alt_add = site.true_alt
+        cur = site.true_first_base_of_diff
+        diff = last_ref_base - cur
+        if ref_add == alt_add:
+            continue
+        if started and diff >= 0:
+            trim = diff + 1
+            if trim < len(site.true_alt) and trim < len(site.true_ref):
+                ref_add = site.true_ref[trim:]
+                alt_add = site.true_alt[trim:]
+                cur = site.true_first_base_of_diff + trim
+            else:
+                continue
+        if started or using_anchor:
+            gap = cur - last_ref_base - 1
+            gap_positions = [last_ref_base + k + 1 for k in range(gap)]
+            sucked_up.extend(gap_positions)
+            filler = ""
+            for p in gap_positions:
+                idx = p - cluster_sites[0].position
+                if len(reference) == 0:
+                    filler += "R"
+                elif 0 <= idx < len(reference):
+                    filler += reference[idx]
+                else:
+                    filler += "R"
+            allele_ref += filler
+            allele_alt += filler
+        if not started:
+            first_variant_pos = cur
+        started = True
+        depths_in.append(int(depths[i]))
+        counts_in.append(int(counts[i]))
+        nocalls_in.append(int(nocalls[i]))
+        last_ref_base = cur + len(ref_add) - 1
+        allele_ref += ref_add
+        allele_alt += alt_add
+
+    if started:
+        t = _num_trailing_agreement(allele_ref, allele_alt)
+        allele_ref = allele_ref[:len(allele_ref) - t]
+        allele_alt = allele_alt[:len(allele_alt) - t]
+    pre = 0 if using_anchor else _num_preceding_agreement(allele_ref, allele_alt)
+    allele_ref = allele_ref[pre:]
+    allele_alt = allele_alt[pre:]
+
+    if not started or (len(allele_ref) == 0 and len(allele_alt) == 0):
+        allele = create_allele(chrom, -1, allele_ref, allele_alt, 0, 0, 0,
+                               cluster_ref_support, AlleleCategory.REFERENCE,
+                               noise_level, max_q)
+        return allele, reference_removal
+
+    total_coverage = int(np.mean(depths_in)) if depths_in else 0
+    var_count = int(np.mean(counts_in)) if counts_in else 0
+    nocall_count = int(np.mean(nocalls_in)) if nocalls_in else 0
+
+    true_start = anchor_position if using_anchor else first_variant_pos + pre
+    idx_ref = (true_start - 1) - cluster_sites[0].position
+    prepend = "R"
+    if 0 <= idx_ref < len(reference):
+        prepend = reference[idx_ref]
+
+    if len(allele_ref) == 0 and len(allele_alt) != 0:
+        allele = create_allele(chrom, true_start - 1, prepend + allele_ref,
+                               prepend + allele_alt, var_count, nocall_count,
+                               total_coverage, cluster_ref_support,
+                               AlleleCategory.INSERTION, noise_level, max_q)
+    elif len(allele_ref) != 0 and len(allele_alt) == 0:
+        allele = create_allele(chrom, true_start - 1, prepend + allele_ref,
+                               prepend + allele_alt, var_count, nocall_count,
+                               total_coverage, cluster_ref_support,
+                               AlleleCategory.DELETION, noise_level, max_q)
+    else:
+        allele = create_allele(chrom, true_start, allele_ref, allele_alt,
+                               var_count, nocall_count, total_coverage,
+                               cluster_ref_support, AlleleCategory.MNV,
+                               noise_level, max_q)
+    if var_count == 0:
+        allele = create_allele(chrom, true_start, allele_ref, ".", var_count,
+                               nocall_count, total_coverage, cluster_ref_support,
+                               AlleleCategory.REFERENCE, noise_level, max_q)
+    for p in sucked_up:
+        if using_anchor or p > true_start:
+            reference_removal[p] = var_count
+    return allele, reference_removal
+
+
+def combine_phased_variants(a1: CalledAllele, a2: CalledAllele,
+                            max_q: int) -> CalledAllele:
+    return create_allele(a1.chromosome, a1.position, a1.ref_allele, a1.alt_allele,
+                         a1.allele_support + a2.allele_support,
+                         (a1.num_no_calls + a2.num_no_calls) // 2,
+                         (a1.total_coverage + a2.total_coverage) // 2,
+                         (a1.reference_support + a2.reference_support) // 2,
+                         a1.category, a1.noise_level_applied, max_q)
+
+
+# ---------------------------------------------------------------------------
+# The per-neighborhood pipeline
+# ---------------------------------------------------------------------------
+
+class ScyllaOptions:
+    def __init__(self):
+        self.min_base_call_quality = 20
+        self.min_map_quality = 1
+        self.min_number_variants_in_read = 1
+        self.remove_duplicates = True
+        self.only_use_proper_pairs = False
+        self.max_q = 100
+        self.min_variant_qscore = 20
+        self.min_variant_qscore_filter = 30
+        self.min_frequency = 0.01
+        self.min_frequency_filter = 0.01
+        self.low_depth_filter = 10
+        self.min_coverage = 10
+        self.target_lod = 0.01
+        self.clustering = ClusteringParameters()
+        self.phasable = PhasableVariantCriteria()
+        self.crush_nbhd = False
+
+
+def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
+                        options: ScyllaOptions) -> List[VeadGroup]:
+    """VeadGroupSource.GetVeadGroups."""
+    finder = VeadFinder(options.min_base_call_quality,
+                        options.min_number_variants_in_read)
+    groups: Dict[tuple, VeadGroup] = {}
+    pos1 = batch.pos.astype(np.int64) + 1
+    end1 = batch.end_pos.astype(np.int64) + 1
+    in_range = (keep & (end1 >= nbhd.first_position_of_interest)
+                & (pos1 <= nbhd.last_position_with_lookahead))
+    for i in np.nonzero(in_range)[0]:
+        s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
+        qs, qe = batch.seq_off[i], batch.seq_off[i + 1]
+        seq_chars = ALLELE_CHARS[batch.seq[qs:qe]].tobytes().decode()
+        results = finder.find_variant_results(
+            nbhd.sites, int(pos1[i]), batch.cigar_ops[s:e],
+            batch.cigar_lens[s:e], seq_chars, batch.qual[qs:qe])
+        if results is None:
+            continue
+        vead = Vead(f"r{i}", results)
+        key = vead.key()
+        if key in groups:
+            groups[key].add_support()
+        else:
+            groups[key] = VeadGroup(vead)
+    return list(groups.values())
+
+
+def process_neighborhood(nbhd: Neighborhood, batch, keep, refseq,
+                         options: ScyllaOptions) -> None:
+    """VariantPhaser.CallMnvsForNeighborhood equivalent."""
+    nbhd.set_range_of_interest(refseq)
+    vead_groups = collect_vead_groups(nbhd, batch, keep, options)
+    clusterer = NeighborhoodClusterer(options.clustering)
+    cluster_set = clusterer.cluster_vead_groups(list(vead_groups))
+
+    clusters = cluster_set.clusters
+    if not clusters:
+        pass
+    else:
+        depths, nocalls = depth_at_sites(
+            [vg for c in clusters for vg in c.vead_groups])
+        anchor = nbhd.first_position_of_interest if options.crush_nbhd else -1
+        for cluster in clusters:
+            consensus = cluster.consensus_sites()
+            ref_support = cluster.get_cluster_reference_support(clusters)
+            mnv, ref_removal = extract_phased_allele(
+                consensus, nbhd.reference_substring, depths, nocalls,
+                ref_support, cluster.counts_at_sites, nbhd.chrom,
+                options.min_base_call_quality, options.max_q, anchor)
+            if mnv.category != AlleleCategory.REFERENCE and mnv.allele_support != 0:
+                _add_combining(nbhd.accepted, mnv, options.max_q)
+                for pos, count in ref_removal.items():
+                    if pos not in nbhd.used_ref_counts:
+                        nbhd.used_ref_counts[pos] = [0, mnv]
+                    nbhd.used_ref_counts[pos][0] += count
+            elif mnv.total_coverage != 0:
+                _add_combining(nbhd.rejected, mnv, options.max_q)
+
+    for pv in nbhd.accepted:
+        pv.reference_support = pv.reference_support
+        rec = nbhd.used_ref_counts.get(pv.position)
+        if rec is not None and rec[1] is not pv:
+            pv.reference_support = max(0, pv.reference_support - rec[0])
+
+    _call_mnvs(nbhd, options)
+    _call_refs(nbhd, options)
+
+
+def _add_combining(target: List[CalledAllele], mnv: CalledAllele, max_q: int):
+    for i, existing in enumerate(target):
+        if (existing.chromosome == mnv.chromosome
+                and existing.position == mnv.position
+                and existing.ref_allele == mnv.ref_allele
+                and existing.alt_allele == mnv.alt_allele):
+            target[i] = combine_phased_variants(existing, mnv, max_q)
+            return
+    target.append(mnv)
+
+
+def _call_mnvs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
+    """VariantCaller.CallMNVs + somatic genotyping of accepted MNVs."""
+    from pisces_tpu.genotype import SomaticGenotyper
+    gt_calc = SomaticGenotyper(options.min_frequency_filter, options.min_coverage,
+                               0, 100, options.target_lod)
+    nbhd.accepted.sort(key=lambda a: (a.position, a.ref_allele, a.alt_allele))
+    found: Dict[int, List[CalledAllele]] = {}
+    for mnv in nbhd.accepted:
+        mnv.noise_level_applied = options.min_base_call_quality
+        mnv.strand_bias_gatk = -100.0
+        if mnv.variant_qscore < options.min_variant_qscore:
+            continue
+        if np.float32(mnv.frequency) < np.float32(options.min_frequency):
+            continue
+        gt_calc.set_genotypes([mnv])
+        mnv.filters = []
+        if mnv.variant_qscore < options.min_variant_qscore_filter:
+            mnv.add_filter(FilterType.LOW_VARIANT_QSCORE)
+        if np.float32(mnv.frequency) < np.float32(options.min_frequency_filter):
+            mnv.add_filter(FilterType.LOW_VARIANT_FREQUENCY)
+        if mnv.total_coverage < options.low_depth_filter:
+            mnv.add_filter(FilterType.LOW_DEPTH)
+        found.setdefault(mnv.position, []).append(mnv)
+    nbhd.called_variants = found
+
+
+def _call_refs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
+    """VariantCaller.CallRefs."""
+    from pisces_tpu.genotype import SomaticGenotyper
+    gt_calc = SomaticGenotyper(options.min_frequency_filter, options.min_coverage,
+                               0, 100, options.target_lod)
+    refs: Dict[int, CalledAllele] = {}
+    for allele in nbhd.original_vcf_variants():
+        sucked = nbhd.used_ref_counts.get(allele.position, [0, None])[0]
+        ref_support = max(0, allele.reference_support - sucked)
+        new_ref = create_allele(allele.chromosome, allele.position,
+                                allele.ref_allele[:1], ".", ref_support,
+                                allele.num_no_calls, allele.total_coverage,
+                                ref_support, AlleleCategory.REFERENCE,
+                                options.min_base_call_quality, options.max_q)
+        if new_ref.variant_qscore < options.min_variant_qscore or \
+                np.float32(new_ref.frequency) < np.float32(options.min_frequency):
+            new_ref.genotype = Genotype.REF_LIKE_NOCALL
+            new_ref.genotype_qscore = 0
+            if np.float32(new_ref.frequency) < np.float32(options.min_frequency):
+                new_ref.variant_qscore = 0
+        new_ref.filters = []
+        if new_ref.variant_qscore < options.min_variant_qscore_filter:
+            new_ref.add_filter(FilterType.LOW_VARIANT_QSCORE)
+        if new_ref.total_coverage < options.low_depth_filter:
+            new_ref.add_filter(FilterType.LOW_DEPTH)
+        if new_ref.position not in refs:
+            gt_calc.set_genotypes([new_ref])
+            refs[new_ref.position] = new_ref
+    nbhd.called_refs = refs
+
+
+# ---------------------------------------------------------------------------
+# Whole-file orchestration + merge
+# ---------------------------------------------------------------------------
+
+def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
+               out_dir: Optional[str] = None,
+               options: Optional[ScyllaOptions] = None) -> str:
+    from pisces_tpu.io.native import open_bam
+    from pisces_tpu.io.bam import filter_batch
+    from pisces_tpu.io.fasta import Genome
+
+    options = options or ScyllaOptions()
+    out_dir = out_dir or os.path.dirname(vcf_path)
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(
+        out_dir,
+        os.path.basename(vcf_path).replace(".genome.vcf", "").replace(
+            ".vcf", "") + ".phased.genome.vcf")
+
+    genome = Genome(genome_dir) if genome_dir else None
+
+    # pass 1: build neighborhoods from the vcf
+    _, variants = read_header_and_variants(vcf_path)
+
+    def allele_stream():
+        for v in variants:
+            for a in to_called_alleles(v):
+                yield a
+
+    neighborhoods = build_neighborhoods(allele_stream(), options.phasable)
+    log(f"Scylla: {len(neighborhoods)} neighborhoods to phase")
+
+    # per-chromosome read batches
+    bam = open_bam(bam_path)
+    batches: Dict[str, tuple] = {}
+
+    for nbhd in neighborhoods:
+        if nbhd.chrom not in batches:
+            if nbhd.chrom in bam.header.ref_names:
+                b = bam.fetch(bam.header.ref_index(nbhd.chrom))
+                k = filter_batch(b, options.min_map_quality,
+                                 options.remove_duplicates,
+                                 options.only_use_proper_pairs)
+                refseq = None
+                if genome is not None and nbhd.chrom in genome.chromosome_names:
+                    refseq = genome.get_chr_reference(nbhd.chrom).sequence
+                batches[nbhd.chrom] = (b, k, refseq)
+            else:
+                batches[nbhd.chrom] = (None, None, None)
+        b, k, refseq = batches[nbhd.chrom]
+        if b is None:
+            continue
+        try:
+            process_neighborhood(nbhd, b, k, refseq, options)
+        except Exception as e:  # keep going per neighborhood (VariantPhaser)
+            log(f"Error processing nbhd {nbhd.id}: {e}", "ERROR")
+
+    # pass 2: merge phased calls back into the vcf stream
+    _merge_to_output(vcf_path, out_path, neighborhoods)
+    return out_path
+
+
+def _merge_to_output(vcf_path: str, out_path: str,
+                     neighborhoods: List[Neighborhood]) -> None:
+    """VcfMerger.WriteVariantsUptoIncludingNbhd over all neighborhoods."""
+    from pisces_tpu.io.vcf_write import VcfWriterConfig, VcfWriter
+
+    header, variants = read_header_and_variants(vcf_path)
+    nbhd_by_chrom: Dict[str, List[Neighborhood]] = {}
+    for nbhd in neighborhoods:
+        nbhd_by_chrom.setdefault(nbhd.chrom, []).append(nbhd)
+
+    wcfg = VcfWriterConfig()
+    from pisces_tpu.io.vcf_write import VcfFormatter
+    formatter = VcfFormatter(wcfg)
+
+    def allele_line(a: CalledAllele) -> str:
+        from pisces_tpu.io.vcf_write import dotnet_format, MIN_SB_SCORE, MAX_SB_SCORE
+        total_depth = formatter.get_depth_count([a])
+        fmt, smp = formatter.construct_format_and_sample([a], total_depth)
+        ref_s, alt_s = formatter.uncrushed_ref_and_alt(a)
+        if a.is_ref_type and a.genotype in (Genotype.HOMOZYGOUS_REF,
+                                            Genotype.REF_LIKE_NOCALL,
+                                            Genotype.REF_AND_NOCALL):
+            alt_s = "."
+        return (f"{a.chromosome}\t{a.position}\t.\t{ref_s}\t{alt_s}\t"
+                f"{a.variant_qscore}\t{formatter.map_filters([a])}\t"
+                f"DP={total_depth}\t{fmt}\t{smp}")
+
+    with open(out_path, "w", newline="\n") as out:
+        for line in header:
+            if line.startswith("#CHROM"):
+                out.write("##phasing=Scylla\n")
+            out.write(line + "\n")
+
+        for group in iter_colocated(variants):
+            chrom = group[0].chrom
+            pos = group[0].position
+            nbhd = None
+            for nb in nbhd_by_chrom.get(chrom, []):
+                if nb.first_position_of_interest <= pos <= nb.last_position_in_vcf:
+                    nbhd = nb
+                    break
+            if nbhd is None:
+                for v in group:
+                    out.write(v.raw_line + "\n")
+                continue
+            used_positions = {a.position for a in nbhd.original_vcf_variants()}
+            used_alleles = [(a.position, a.ref_allele, a.alt_allele)
+                            for a in nbhd.original_vcf_variants()]
+            out_alleles: List[Tuple[CalledAllele, Optional[str]]] = []
+            mnvs_here = nbhd.called_variants.get(pos, [])
+            wrote_mnv = bool(mnvs_here)
+            for mnv in mnvs_here:
+                out_alleles.append((mnv, None))
+            nbhd.called_variants[pos] = []
+            for v in group:
+                alleles = to_called_alleles(v)
+                for a in alleles:
+                    was_used = (a.position, a.ref_allele, a.alt_allele) in used_alleles
+                    if wrote_mnv and not was_used and not a.is_ref_type:
+                        out_alleles.append((a, v.raw_line))
+                    elif was_used:
+                        new_ref = nbhd.called_refs.get(a.position)
+                        if new_ref is not None and not any(
+                                x[0].position == pos and x[0].is_ref_type
+                                for x in out_alleles):
+                            out_alleles.append((new_ref, None))
+                    elif not wrote_mnv:
+                        out_alleles.append((a, v.raw_line))
+            out_alleles.sort(key=lambda t: (t[0].position, t[0].ref_allele,
+                                            t[0].alt_allele))
+            seen_lines = set()
+            for a, raw in out_alleles:
+                if raw is not None:
+                    if raw not in seen_lines:
+                        seen_lines.add(raw)
+                        out.write(raw + "\n")
+                else:
+                    out.write(allele_line(a) + "\n")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="scylla", description="MNV phaser")
+    p.add_argument("-vcf", required=True)
+    p.add_argument("-bam", required=True)
+    p.add_argument("-g", "--genome", default=None)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-dist", "--phasingdistance", type=int, default=50)
+    p.add_argument("-passingvariantsonly", default="true")
+    args = p.parse_args(argv)
+    options = ScyllaOptions()
+    options.phasable.phasing_distance = args.phasingdistance
+    options.phasable.passing_variants_only = (
+        args.passingvariantsonly.lower() == "true")
+    out = run_scylla(args.vcf, args.bam, args.genome, args.out, options)
+    log(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,199 @@
+"""Scylla phasing engine tests: vead finding, clustering, MNV extraction,
+and the end-to-end vcf+bam -> phased vcf flow on synthetic data."""
+import os
+
+import numpy as np
+import pytest
+
+from pisces_tpu.domain.types import AlleleCategory
+from pisces_tpu.io.bam_write import BamWriter
+from pisces_tpu.phasing import scylla
+from pisces_tpu.phasing.clustering import (
+    ClusteringParameters, NeighborhoodClusterer,
+)
+from pisces_tpu.phasing.models import (
+    Vead, VeadFinder, VeadGroup, VariantSite, agreement,
+)
+
+from util import parse_cigar
+
+
+def vead_from_states(name, states):
+    """states: list of (pos, ref, alt)."""
+    return Vead(name, [VariantSite(p, r, a) for p, r, a in states])
+
+
+class TestVeadFinder:
+    def find(self, sites, pos1, cigar, seq, qual=30):
+        ops, lens = parse_cigar(cigar)
+        quals = np.full(len(seq), qual) if isinstance(qual, int) \
+            else np.asarray(qual)
+        finder = VeadFinder(20, 1)
+        return finder.find_variant_results(sites, pos1, ops, lens, seq, quals)
+
+    def test_snv_found(self):
+        sites = [VariantSite(105, "A", "T")]
+        r = self.find(sites, 100, "10M", "CCCCCTCCCC")
+        assert r is not None
+        assert (r[0].ref, r[0].alt) == ("A", "T")
+
+    def test_snv_reference(self):
+        sites = [VariantSite(105, "A", "T")]
+        r = self.find(sites, 100, "10M", "CCCCCACCCC")
+        assert (r[0].ref, r[0].alt) == ("A", "A")
+
+    def test_snv_different(self):
+        sites = [VariantSite(105, "A", "T")]
+        r = self.find(sites, 100, "10M", "CCCCCGCCCC")
+        assert (r[0].ref, r[0].alt) == ("X", "X")
+
+    def test_low_quality_is_nocall(self):
+        sites = [VariantSite(105, "A", "T")]
+        quals = [30] * 10
+        quals[5] = 5
+        r = self.find(sites, 100, "10M", "CCCCCTCCCC", quals)
+        assert (r[0].ref, r[0].alt) == ("N", "N")
+
+    def test_out_of_range_returns_none(self):
+        # no phasing site lands in the read -> below MinNumberVariantsInRead
+        sites = [VariantSite(200, "A", "T")]
+        r = self.find(sites, 100, "10M", "CCCCCTCCCC")
+        assert r is None
+
+    def test_insertion_found(self):
+        sites = [VariantSite(104, "C", "CTT")]
+        r = self.find(sites, 100, "5M2I5M", "CCCCCTTCCCCC")
+        assert (r[0].ref, r[0].alt) == ("C", "CTT")
+
+    def test_deletion_found(self):
+        sites = [VariantSite(104, "CGG", "C")]
+        r = self.find(sites, 100, "5M2D5M", "CCCCCCCCCC")
+        assert (r[0].ref, r[0].alt) == ("CGG", "C")
+
+    def test_two_sites(self):
+        sites = [VariantSite(102, "C", "G"), VariantSite(107, "C", "A")]
+        r = self.find(sites, 100, "10M", "CCGCCCCACC")
+        assert (r[0].ref, r[0].alt) == ("C", "G")
+        assert (r[1].ref, r[1].alt) == ("C", "A")
+
+
+class TestClustering:
+    def test_agreement(self):
+        vg1 = VeadGroup(vead_from_states("a", [(1, "A", "T"), (5, "C", "G")]))
+        vg2 = VeadGroup(vead_from_states("b", [(1, "A", "T"), (5, "C", "C")]))
+        assert agreement(vg1, vg2) == (1, 1)
+        vg3 = VeadGroup(vead_from_states("c", [(1, "N", "N"), (5, "C", "G")]))
+        assert agreement(vg1, vg3) == (1, 0)
+
+    def test_two_haplotypes_cluster_separately(self):
+        groups = []
+        for i in range(5):
+            groups.append(VeadGroup(vead_from_states(
+                f"h1_{i}", [(1, "A", "T"), (5, "C", "G")])))
+        for i in range(4):
+            groups.append(VeadGroup(vead_from_states(
+                f"h2_{i}", [(1, "A", "A"), (5, "C", "C")])))
+        clusters = NeighborhoodClusterer().cluster_vead_groups(groups)
+        assert clusters.num_clusters == 2
+        sizes = sorted(c.num_veads for c in clusters.clusters)
+        assert sizes == [4, 5]
+
+
+class TestExtraction:
+    def test_two_snvs_to_mnv(self):
+        sites = [VariantSite(100, "A", "T"), VariantSite(102, "C", "G")]
+        allele, removal = scylla.extract_phased_allele(
+            sites, "ARC", np.array([50, 50]), np.array([0, 0]), 10,
+            np.array([30, 30]), "chr1", 20, 100)
+        assert allele.category == AlleleCategory.MNV
+        assert allele.position == 100
+        assert allele.ref_allele == "ARC"
+        assert allele.alt_allele == "TRG"
+        assert allele.allele_support == 30
+        assert allele.total_coverage == 50
+        assert 101 in removal
+
+    def test_gap_filled_from_reference(self):
+        sites = [VariantSite(100, "A", "T"), VariantSite(102, "C", "G")]
+        allele, _ = scylla.extract_phased_allele(
+            sites, "AXC", np.array([50, 50]), np.array([0, 0]), 10,
+            np.array([30, 30]), "chr1", 20, 100)
+        assert allele.ref_allele == "AXC"
+
+    def test_all_reference_cluster(self):
+        sites = [VariantSite(100, "A", "A"), VariantSite(102, "C", "C")]
+        allele, _ = scylla.extract_phased_allele(
+            sites, "AAC", np.array([50, 50]), np.array([0, 0]), 40,
+            np.array([30, 30]), "chr1", 20, 100)
+        assert allele.category == AlleleCategory.REFERENCE
+
+
+HEADER = """##fileformat=VCFv4.1
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Total Depth">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">
+##FORMAT=<ID=AD,Number=.,Type=Integer,Description="AD">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="DP">
+##FORMAT=<ID=VF,Number=.,Type=Float,Description="VF">
+##FORMAT=<ID=NL,Number=1,Type=Integer,Description="NL">
+##FORMAT=<ID=SB,Number=1,Type=Float,Description="SB">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1
+"""
+
+
+class TestEndToEnd:
+    def test_phase_two_linked_snvs(self, tmp_path):
+        # Genome: 60bp of C with A at 20 and G at 25 (0-based 19, 24)
+        refseq = list("C" * 60)
+        refseq[19] = "A"
+        refseq[24] = "G"
+        refstr = "".join(refseq)
+        genome_dir = tmp_path / "genome"
+        genome_dir.mkdir()
+        with open(genome_dir / "chr1.fa", "w") as f:
+            f.write(">chr1\n" + refstr + "\n")
+        with open(genome_dir / "chr1.fa.fai", "w") as f:
+            f.write(f"chr1\t60\t6\t60\t61\n")
+        with open(genome_dir / "GenomeSize.xml", "w") as f:
+            f.write('<sequenceSizes genomeName="t">\n'
+                    '\t<chromosome fileName="chr1.fa" contigName="chr1" '
+                    'totalBases="60" isCircular="false" md5="x" ploidy="2" '
+                    'knownBases="60" />\n</sequenceSizes>')
+
+        # BAM: 30 reads with both variants (A20T, G25C linked);
+        # 70 reads reference at both sites
+        bam_path = str(tmp_path / "test.bam")
+        w = BamWriter(bam_path, ["chr1"], [60])
+        var_read = list("C" * 40)
+        var_read[19 - 10] = "T"   # read starts at pos 11 (1-based)
+        var_read[24 - 10] = "C"
+        ref_read = list("C" * 40)
+        ref_read[19 - 10] = "A"
+        ref_read[24 - 10] = "G"
+        for i in range(30):
+            w.add_read(f"var{i}", "chr1", 11, "40M", "".join(var_read))
+        for i in range(70):
+            w.add_read(f"ref{i}", "chr1", 11, "40M", "".join(ref_read))
+        w.write()
+
+        # input VCF with the two component SNVs
+        vcf_path = str(tmp_path / "in.genome.vcf")
+        with open(vcf_path, "w") as f:
+            f.write(HEADER)
+            f.write("chr1\t20\t.\tA\tT\t100\tPASS\tDP=100\t"
+                    "GT:GQ:AD:DP:VF:NL:SB\t0/1:100:70,30:100:0.300:20:-100.0000\n")
+            f.write("chr1\t25\t.\tG\tC\t100\tPASS\tDP=100\t"
+                    "GT:GQ:AD:DP:VF:NL:SB\t0/1:100:70,30:100:0.300:20:-100.0000\n")
+
+        out = scylla.run_scylla(vcf_path, bam_path, str(genome_dir),
+                                str(tmp_path))
+        lines = [l for l in open(out) if not l.startswith("#")]
+        # expect a phased MNV ACCCCG>TCCCCC spanning 20..25
+        mnv_lines = [l for l in lines if "\t20\t" in l and len(l.split("\t")[3]) > 1]
+        assert mnv_lines, f"no phased MNV found in output: {lines}"
+        f = mnv_lines[0].split("\t")
+        assert f[3] == "ACCCC" + "G"
+        assert f[4] == "TCCCC" + "C"
+        # component SNVs replaced by ref calls
+        assert not any("\tA\tT\t" in l for l in lines)
+        assert not any("\tG\tC\t" in l for l in lines)
