@@ -226,6 +226,12 @@ def main(argv=None) -> int:
     p.add_argument("-ploidy", default="somatic")
     p.add_argument("-RMxNFilter", default="5,9,0.35")
     p.add_argument("-backend", default="jax", choices=["jax", "numpy"])
+    p.add_argument("-MaxNumThreads", "-t", type=int, default=1)
+    p.add_argument("-MultiProcess", default="false")
+    p.add_argument("-ForcedAlleles", default=None)
+    p.add_argument("-OutputBiasFiles", default="false")
+    p.add_argument("-CollapseVariants", "-Collapse", dest="Collapse",
+                   default="true")
     args = p.parse_args(argv)
 
     options = PiscesApplicationOptions()
@@ -256,11 +262,31 @@ def main(argv=None) -> int:
             v.rmxn_filter_frequency_limit = float(parts[2])
     if args.intervals:
         options.interval_paths = [args.intervals]
+    if args.ForcedAlleles:
+        options.forced_alleles_paths = args.ForcedAlleles.split(",")
+    options.output_bias_files = args.OutputBiasFiles.lower() == "true"
+    options.collapse = args.Collapse.lower() == "true"
+    options.max_num_threads = args.MaxNumThreads
 
+    bam_paths = args.bam.split(",")
     genome = Genome(args.genome)
-    out = process_bam(options, args.bam, genome,
-                      use_device=args.backend == "jax")
-    log(f"wrote {out}")
+    use_device = args.backend == "jax"
+
+    if args.MultiProcess.lower() == "true":
+        from pisces_tpu.parallel.scheduler import process_chromosomes_multiprocess
+        for bam_path in bam_paths:
+            out = process_chromosomes_multiprocess(
+                options, bam_path, args.genome, args.MaxNumThreads, use_device)
+            log(f"wrote {out}")
+    elif args.MaxNumThreads > 1 or len(bam_paths) > 1:
+        from pisces_tpu.parallel.scheduler import process_bams_parallel
+        outs = process_bams_parallel(options, bam_paths, genome,
+                                     args.MaxNumThreads, use_device)
+        for out in outs:
+            log(f"wrote {out}")
+    else:
+        out = process_bam(options, bam_paths[0], genome, use_device=use_device)
+        log(f"wrote {out}")
     return 0
 
 

@@ -1,0 +1,88 @@
+"""Scheduler tests: threaded (bam x chr) jobs with ordered merge, modeled on
+GenomeProcessorTests.ExecuteChromosomeThreadingTest (scheduling behavior
+validated by faking/replacing heavy compute with real small inputs)."""
+import os
+
+import numpy as np
+import pytest
+
+import conftest
+from pisces_tpu.io.fasta import Genome
+from pisces_tpu.options import PiscesApplicationOptions
+from pisces_tpu.parallel.scheduler import (
+    JobManager, OrderedChromosomeWriter, process_bams_parallel,
+)
+
+
+class TestJobManager:
+    def test_runs_all_jobs(self):
+        results = []
+        jobs = [lambda i=i: results.append(i) for i in range(20)]
+        JobManager(4).process(jobs)
+        assert sorted(results) == list(range(20))
+
+    def test_terminate_on_error(self):
+        def bad():
+            raise ValueError("boom")
+        with pytest.raises(ValueError):
+            JobManager(2).process([bad])
+
+    def test_error_mode_none_swallows(self):
+        def bad():
+            raise ValueError("boom")
+        done = []
+        JobManager(2, error_mode="none").process(
+            [bad, lambda: done.append(1)])
+        assert done == [1]
+
+
+class TestOrderedWriter:
+    def test_out_of_order_completion_writes_in_order(self):
+        import threading
+        import time
+        ow = OrderedChromosomeWriter(["chr1", "chr2", "chr3"])
+        written = []
+
+        def worker():
+            time.sleep(0.02)
+            ow.submit("chr3", ["c"])
+            ow.submit("chr1", ["a"])
+            time.sleep(0.02)
+            ow.submit("chr2", ["b"])
+
+        t = threading.Thread(target=worker)
+        t.start()
+        ow.drain(lambda name, alleles: written.append((name, alleles)))
+        t.join()
+        assert written == [("chr1", ["a"]), ("chr2", ["b"]), ("chr3", ["c"])]
+
+
+@pytest.mark.parametrize("max_threads", [1, 2, 3])
+def test_parallel_matches_serial(tmp_path, max_threads):
+    """1/2/3 threads over a multi-chr genome produce identical output to the
+    serial path (the reference's ExecuteChromosomeThreadingTest shape)."""
+    from pisces_tpu.apps.pisces import process_bam
+
+    bam = os.path.join(conftest.REFERENCE_ROOT,
+                       "src/test/Pisces.Tests/TestData/Sample_S1.bam")
+    genome = Genome(conftest.shared_genome("chr19"))
+
+    def make_options(outdir):
+        o = PiscesApplicationOptions()
+        o.output_directory = str(outdir)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        return o
+
+    serial_dir = tmp_path / "serial"
+    serial_dir.mkdir()
+    serial_out = process_bam(make_options(serial_dir), bam, genome,
+                             use_device=False)
+
+    par_dir = tmp_path / f"par{max_threads}"
+    par_dir.mkdir()
+    par_outs = process_bams_parallel(make_options(par_dir), [bam], genome,
+                                     max_threads=max_threads,
+                                     use_device=False)
+    serial_lines = [l for l in open(serial_out) if not l.startswith("##")]
+    par_lines = [l for l in open(par_outs[0]) if not l.startswith("##")]
+    assert serial_lines == par_lines
