@@ -74,6 +74,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     source = AlleleSource(pc, expect_stitched_reads=source_is_stitched,
                           amplicon_coverage=amp_cov)
 
+    read_summaries = None
+    from pisces_tpu.domain.types import CoverageMethod
+    if options.coverage_method == CoverageMethod.EXACT:
+        from pisces_tpu.ops.exact_coverage import build_read_summaries
+        read_summaries = build_read_summaries(batch, keep, base_dirs)
+
     candidates, _ = find_candidates_batch(
         chrom.name, chrom.sequence, batch, keep,
         bf.minimum_base_call_quality, options.call_mnvs, options.max_size_mnv,
@@ -104,7 +110,8 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             cfg.consider_anchor_information,
             options.collapse_freq_threshold, options.collapse_freq_ratio_threshold)
 
-    caller = AlleleCaller(cfg, chrom.sequence, collapser, intervals)
+    caller = AlleleCaller(cfg, chrom.sequence, collapser, intervals,
+                          read_summaries=read_summaries)
     if forced_alleles:
         caller.forced_alleles = {f for f in forced_alleles if f[0] == chrom.name}
     by_position = caller.call(candidates, source, max_position=None)

@@ -70,6 +70,7 @@ class CallerConfig:
     min_depth_to_genotype: int = 10
     consider_anchor_information: bool = True
     expect_stitched_source: bool = False
+    coverage_method: "CoverageMethod" = None  # CoverageMethod.EXACT enables read-spanning coverage
 
     @classmethod
     def from_options(cls, options: PiscesApplicationOptions) -> "CallerConfig":
@@ -95,6 +96,7 @@ class CallerConfig:
             rmxn_min_repetitions=v.rmxn_filter_min_repetitions,
             rmxn_frequency_limit=v.rmxn_filter_frequency_limit,
             noise_model=v.noise_model,
+            coverage_method=options.coverage_method,
             ploidy_model=v.ploidy_model,
             min_frequency_filter=max(v.minimum_frequency_filter, v.minimum_frequency),
             target_lod_frequency=max(v.target_lod_frequency,
@@ -109,12 +111,13 @@ class CallerConfig:
 class AlleleCaller:
     def __init__(self, config: CallerConfig, refseq: np.ndarray,
                  collapser: Optional[VariantCollapser] = None,
-                 interval_set=None):
+                 interval_set=None, read_summaries=None):
         self.config = config
         self.refseq = refseq
         self.refseq_str = RefSeqStr(refseq)
         self.collapser = collapser
         self.interval_set = interval_set
+        self.read_summaries = read_summaries
         self.forced_alleles: set = set()
         self.total_num_called = 0
 
@@ -126,22 +129,43 @@ class AlleleCaller:
 
     def process_variant(self, source: AlleleSource, a: CalledAllele) -> None:
         cfg = self.config
-        cov = compute_coverage(source, a.category, a.position, a.ref_allele,
-                               a.alt_allele, a.allele_support,
-                               a.well_anchored_support,
-                               cfg.consider_anchor_information)
-        a.total_coverage = cov.total_coverage
-        a.coverage_by_direction = cov.coverage_by_direction
-        a.reference_support = cov.reference_support
-        a.num_no_calls = cov.num_no_calls
-        a.sum_of_base_quality = cov.sum_of_base_quality
-        a.confident_coverage_start = cov.confident_coverage_start
-        a.confident_coverage_end = cov.confident_coverage_end
-        a.suspicious_coverage_start = cov.suspicious_coverage_start
-        a.suspicious_coverage_end = cov.suspicious_coverage_end
-        a.unanchored_coverage_weight = cov.unanchored_coverage_weight
-        if cov.allele_support_adjustment:
-            a.allele_support += cov.allele_support_adjustment
+        from pisces_tpu.domain.types import CoverageMethod
+        use_exact = (cfg.coverage_method == CoverageMethod.EXACT
+                     and self.read_summaries is not None
+                     and a.category in (AlleleCategory.DELETION,
+                                        AlleleCategory.MNV,
+                                        AlleleCategory.INSERTION))
+        if use_exact:
+            from pisces_tpu.ops.exact_coverage import exact_spanning_coverage
+            length = (len(a.alt_allele) - 1
+                      if a.category == AlleleCategory.INSERTION
+                      else len(a.ref_allele) - 1
+                      if a.category == AlleleCategory.DELETION
+                      else len(a.alt_allele))
+            cov_dir, total, ref_sup, sum_bq = exact_spanning_coverage(
+                source, self.read_summaries, a.category, a.position, length,
+                a.allele_support)
+            a.total_coverage = total
+            a.coverage_by_direction = cov_dir
+            a.reference_support = ref_sup
+            a.sum_of_base_quality = sum_bq
+        else:
+            cov = compute_coverage(source, a.category, a.position, a.ref_allele,
+                                   a.alt_allele, a.allele_support,
+                                   a.well_anchored_support,
+                                   cfg.consider_anchor_information)
+            a.total_coverage = cov.total_coverage
+            a.coverage_by_direction = cov.coverage_by_direction
+            a.reference_support = cov.reference_support
+            a.num_no_calls = cov.num_no_calls
+            a.sum_of_base_quality = cov.sum_of_base_quality
+            a.confident_coverage_start = cov.confident_coverage_start
+            a.confident_coverage_end = cov.confident_coverage_end
+            a.suspicious_coverage_start = cov.suspicious_coverage_start
+            a.suspicious_coverage_end = cov.suspicious_coverage_end
+            a.unanchored_coverage_weight = cov.unanchored_coverage_weight
+            if cov.allele_support_adjustment:
+                a.allele_support += cov.allele_support_adjustment
 
         if a.allele_support > 0:
             if cfg.noise_model == NoiseModel.WINDOW and a.total_coverage > 0:

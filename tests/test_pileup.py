@@ -168,3 +168,31 @@ class TestBlockTiling:
         for p in (998, 999, 1000, 1001, 1002, 1003):
             assert count(pc, p, A.A, D.FORWARD) == 1
         assert count(pc, 1004, A.A, D.FORWARD) == 0
+
+
+class TestExactCoverage:
+    def test_spanning_deletion_counts_reads(self):
+        from pisces_tpu.domain.types import AlleleCategory
+        from pisces_tpu.ops.exact_coverage import (
+            build_read_summaries, exact_spanning_coverage,
+        )
+        from pisces_tpu.calling.source import AlleleSource
+        # 3 reads spanning a 2bp deletion at 105-106, 1 read not spanning
+        reads = [
+            dict(pos1=100, cigar="5M2D5M", seq="AAAAAAAAAA", qual=30),
+            dict(pos1=101, cigar="4M2D6M", seq="AAAAAAAAAA", qual=30),
+            dict(pos1=100, cigar="12M", seq="AAAAAAAAAAAA", qual=30,
+                 flag=0x10),
+            dict(pos1=108, cigar="5M", seq="AAAAA", qual=30),  # starts after
+        ]
+        batch = make_batch(reads)
+        keep = np.ones(batch.n, bool)
+        ev = build_base_events(batch, keep, 20, 5)
+        pc = build_counts_host(ev)
+        src = AlleleSource(pc)
+        summaries = build_read_summaries(batch, keep)
+        cov_dir, total, ref_sup, _ = exact_spanning_coverage(
+            src, summaries, AlleleCategory.DELETION, 104, 2, 2)
+        assert total == 3
+        assert cov_dir[0] == 2 and cov_dir[1] == 1
+        assert ref_sup == 1
