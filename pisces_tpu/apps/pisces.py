@@ -43,7 +43,9 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         is not None)
     source_is_stitched = (bam.header.source_is_stitched
                           or options.use_stitched_xd_info)
-    need_tags = track_amplicons or source_is_stitched
+    source_is_collapsed = bam.header.source_is_collapsed
+    need_tags = (track_amplicons or source_is_stitched or source_is_collapsed
+                 or options.vcf_writing_parameters.report_rc_counts)
 
     ref_id = bam.header.ref_index(chrom.name)
     try:
@@ -115,6 +117,17 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     if forced_alleles:
         caller.forced_alleles = {f for f in forced_alleles if f[0] == chrom.name}
     by_position = caller.call(candidates, source, max_position=None)
+
+    if options.vcf_writing_parameters.report_rc_counts and \
+            batch.extra_tags is not None:
+        from pisces_tpu.pileup.collapsed import collapsed_total_counts
+        totals = collapsed_total_counts(batch, keep,
+                                        bf.minimum_base_call_quality, base_dirs)
+        for pos, alleles_at in by_position.items():
+            t = totals.get(pos)
+            if t is not None:
+                for a in alleles_at:
+                    a.read_collapsed_count_total = t
 
     out: List = []
     for pos in sorted(by_position):

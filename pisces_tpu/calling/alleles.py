@@ -53,6 +53,8 @@ class CalledAllele:
 
     is_forced_to_report: bool = False
     phase_set_index: int = -1
+    read_collapsed_counts_mut: Optional[np.ndarray] = None   # [8] per-candidate
+    read_collapsed_count_total: Optional[np.ndarray] = None  # [8] per-position
 
     confident_coverage_start: int = 0
     confident_coverage_end: int = 0
@@ -104,6 +106,9 @@ def map_candidate(c: Candidate) -> CalledAllele:
     a.support_by_direction = c.support_by_direction.copy()
     a.well_anchored_by_direction = c.well_anchored_by_direction.copy()
     a.is_forced_to_report = c.is_forced
+    if getattr(c, "read_collapsed_counts", None) is not None \
+            and a.category != AlleleCategory.REFERENCE:
+        a.read_collapsed_counts_mut = c.read_collapsed_counts.copy()
     if c.support_by_amplicon:
         a.support_by_amplicon = dict(c.support_by_amplicon)
     if a.category == AlleleCategory.REFERENCE:

@@ -65,6 +65,7 @@ class ReadBatch:
     end_pos: np.ndarray     # int32 [n] 0-based inclusive end (last ref-consumed base)
     xd_tags: Optional[list] = None  # per-read stitched direction strings (XD)
     xn_tags: Optional[list] = None  # per-read amplicon names (XN)
+    extra_tags: Optional[list] = None  # per-read dicts incl. XR/XV/XW (UMI)
 
     def read_len(self, i: int) -> int:
         return int(self.seq_off[i + 1] - self.seq_off[i])
@@ -144,17 +145,21 @@ class BamReader:
         return len(self._scan_record_offsets()) - 1
 
     @staticmethod
-    def _parse_string_tags(d: bytes, p: int, rec_end: int) -> Dict[str, str]:
-        """Extract Z-typed tags (XD stitched directions, XN amplicon, XR/XW
-        UMI) from a record's tag block."""
+    def _parse_string_tags(d: bytes, p: int, rec_end: int) -> Dict[str, object]:
+        """Extract Z-typed tags (XD stitched directions, XN amplicon, XR pair
+        direction) and int tags (XV/XW UMI counts) from a record's tag block."""
         _TYPE_SIZE = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
                       ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
-        out: Dict[str, str] = {}
+        _INT_FMT = {ord("c"): "<b", ord("C"): "<B", ord("s"): "<h",
+                    ord("S"): "<H", ord("i"): "<i", ord("I"): "<I"}
+        out: Dict[str, object] = {}
         while p + 3 <= rec_end:
             tag = d[p:p + 2].decode("ascii", errors="replace")
             typ = d[p + 2]
             p += 3
             if typ in _TYPE_SIZE:
+                if tag in ("XV", "XW") and typ in _INT_FMT:
+                    out[tag] = struct.unpack_from(_INT_FMT[typ], d, p)[0]
                 p += _TYPE_SIZE[typ]
             elif typ in (ord("Z"), ord("H")):
                 end = d.index(b"\x00", p, rec_end) if b"\x00" in d[p:rec_end] else rec_end
@@ -206,6 +211,7 @@ class BamReader:
         end_pos = np.empty(m, dtype=np.int32)
         xd_tags: Optional[list] = [] if parse_tags else None
         xn_tags: Optional[list] = [] if parse_tags else None
+        extra_tags: Optional[list] = [] if parse_tags else None
 
         for j, i in enumerate(idx):
             off = int(offsets[i])
@@ -231,6 +237,8 @@ class BamReader:
                 tags = self._parse_string_tags(d, p, off + 4 + block_size)
                 xd_tags.append(tags.get("XD"))
                 xn_tags.append(tags.get("XN"))
+                if extra_tags is not None:
+                    extra_tags.append(tags)
 
             cigar_ops_l.append(ops)
             cigar_lens_l.append(lens)
@@ -256,6 +264,7 @@ class BamReader:
             end_pos=end_pos,
             xd_tags=xd_tags,
             xn_tags=xn_tags,
+            extra_tags=extra_tags,
         )
 
 

@@ -305,6 +305,26 @@ class VcfFormatter:
             smp.append(",".join(dotnet_format(x, 2)
                                 for x in first.genotype_posteriors))
 
+        if c.should_output_rc_counts:
+            import numpy as _np
+            from pisces_tpu.domain.types import ReadCollapsedType as _R
+            mut = first.read_collapsed_counts_mut
+            tot = first.read_collapsed_count_total
+            mut = mut if mut is not None else _np.zeros(8, _np.int64)
+            tot = tot if tot is not None else _np.zeros(8, _np.int64)
+            if c.should_output_ts_counts:
+                order = [_R.DUPLEX_STITCHED, _R.DUPLEX_NON_STITCHED,
+                         _R.SIMPLEX_FORWARD_STITCHED,
+                         _R.SIMPLEX_FORWARD_NON_STITCHED,
+                         _R.SIMPLEX_REVERSE_STITCHED,
+                         _R.SIMPLEX_REVERSE_NON_STITCHED]
+            else:
+                order = [_R.DUPLEX_STITCHED, _R.DUPLEX_NON_STITCHED,
+                         _R.SIMPLEX_STITCHED, _R.SIMPLEX_NON_STITCHED]
+            fmt.append("US")
+            smp.append(",".join([str(int(mut[int(t)])) for t in order]
+                                + [str(int(tot[int(t)])) for t in order]))
+
         if c.should_output_suspicious_coverage_fraction:
             sc = ";".join(
                 f"{v.confident_coverage_start},{v.suspicious_coverage_start},"

@@ -50,6 +50,7 @@ class Candidate:
     is_forced: bool = False
     frequency: float = 0.0  # scratch, used by collapser
     support_by_amplicon: Optional[Dict[str, int]] = None
+    read_collapsed_counts: Optional[np.ndarray] = None  # [8] UMI categories
 
     @property
     def support(self) -> int:
@@ -117,6 +118,11 @@ class CandidateAggregator:
                 for name, n in cand.support_by_amplicon.items():
                     existing.support_by_amplicon[name] = (
                         existing.support_by_amplicon.get(name, 0) + n)
+            if cand.read_collapsed_counts is not None:
+                if existing.read_collapsed_counts is None:
+                    existing.read_collapsed_counts = cand.read_collapsed_counts.copy()
+                else:
+                    existing.read_collapsed_counts += cand.read_collapsed_counts
 
     def add_counts(self, cand: Candidate, direction: int, well_anchored: bool,
                    count: int = 1) -> None:
@@ -364,6 +370,19 @@ def find_candidates_batch(
             expanded_info=exp_info,
             amplicon_name=(batch.xn_tags[i] if (track_amplicons
                            and batch.xn_tags is not None) else None))
+        if batch.extra_tags is not None:
+            from pisces_tpu.pileup.collapsed import (
+                candidate_collapsed_counts, is_collapsed, is_duplex,
+                pair_direction,
+            )
+            tags = batch.extra_tags[i]
+            if is_collapsed(tags):
+                pd = pair_direction(int(batch.flag[i]), tags.get("XR"))
+                dup = is_duplex(tags)
+                for c in cands:
+                    d = int(c.support_by_direction.argmax())
+                    c.read_collapsed_counts = candidate_collapsed_counts(
+                        d, dup, pd)
         for c in cands:
             agg.add(c)
     return agg.candidates(), agg
