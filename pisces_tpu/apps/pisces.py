@@ -101,7 +101,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             fc.is_forced = True
             candidates.append(fc)
 
-    if options.vcf_writing_parameters.output_gvcf_file:
+    fast_gvcf = (options.vcf_writing_parameters.output_gvcf_file
+                 and intervals is None
+                 and not options.call_mnvs
+                 and not options.vcf_writing_parameters.report_rc_counts
+                 and not forced_alleles)
+    if options.vcf_writing_parameters.output_gvcf_file and not fast_gvcf:
         candidates = candidates + make_reference_candidates(
             chrom.name, chrom.sequence, pc, intervals)
 
@@ -129,12 +134,76 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
                 for a in alleles_at:
                     a.read_collapsed_count_total = t
 
+    ref_lines = None
+    if fast_gvcf:
+        from pisces_tpu.calling.fast_gvcf import (
+            format_reference_lines, score_reference_positions,
+        )
+        from pisces_tpu.ops.jax_scoring import ScoringParams
+        v = options.variant_calling_parameters
+        params = ScoringParams(
+            noise_level=v.noise_level_used_for_q_scoring,
+            max_variant_qscore=v.maximum_variant_qscore,
+            min_variant_qscore=v.minimum_variant_qscore,
+            variant_qscore_filter=v.minimum_variant_qscore_filter,
+            min_frequency=v.minimum_frequency,
+            min_frequency_filter=max(v.minimum_frequency_filter,
+                                     v.minimum_frequency),
+            target_lod=cfg.target_lod_frequency,
+            min_depth=v.minimum_coverage,
+            low_depth_filter=v.low_depth_filter or v.minimum_coverage,
+            min_gq=v.minimum_genotype_qscore,
+            max_gq=v.maximum_genotype_qscore,
+            sb_acceptance=v.strand_bias_acceptance_criteria,
+            no_call_filter=v.no_call_filter_threshold)
+        positions, scored = score_reference_positions(
+            pc, chrom.sequence, params, use_device=use_device)
+        if scored is not None:
+            wcfg = VcfWriterConfig(options)
+            ref_lines = (positions, format_reference_lines(
+                chrom.name, positions, scored, wcfg,
+                v.low_depth_filter or v.minimum_coverage,
+                v.minimum_variant_qscore_filter))
+
     out: List = []
     for pos in sorted(by_position):
         out.extend(by_position[pos])
     log(f"{chrom.name}: {caller.total_num_called} alleles called. "
         f"{caller.total_num_collapsed} variants collapsed.")
+    if fast_gvcf:
+        return out, ref_lines
     return out
+
+
+def write_spliced(writer, variant_alleles, ref_lines) -> None:
+    """Merge the columnar reference-line stream with object-path variant
+    alleles, in position order; ref lines at emitted-variant positions are
+    pruned (ComputeGenotypeAndFilterAllele ref-pruning semantics)."""
+    variant_positions = {}
+    for a in variant_alleles:
+        variant_positions.setdefault(a.position, []).append(a)
+    if ref_lines is None:
+        positions = []
+        lines = []
+    else:
+        positions, lines = ref_lines
+    fh = writer._fh
+    ri = 0
+    n_ref = len(positions)
+    for pos in sorted(set(variant_positions) | set(int(p) for p in positions)):
+        while ri < n_ref and int(positions[ri]) < pos:
+            ri += 1
+        if pos in variant_positions:
+            if writer.config.allow_multiple_vcf_lines_per_loci:
+                for a in variant_positions[pos]:
+                    writer.write_colocated([a])
+            else:
+                writer.write_colocated(variant_positions[pos])
+            if ri < n_ref and int(positions[ri]) == pos:
+                ri += 1  # prune the ref line at a variant position
+        elif ri < n_ref and int(positions[ri]) == pos:
+            fh.write(lines[ri] + "\n")
+            ri += 1
 
 
 def load_forced_alleles(paths: List[str]) -> set:
@@ -201,11 +270,16 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             chrom = genome.get_chr_reference(chrom_name)
             intervals = _load_intervals(options, chrom_name)
             t0 = time.time()
-            alleles = call_chromosome(options, chrom, bam, intervals,
-                                      use_device, forced_alleles)
-            mapper = make_region_mapper(options, chrom, intervals)
-            writer.write(alleles, mapper)
-            writer.write_remaining(mapper)
+            result = call_chromosome(options, chrom, bam, intervals,
+                                     use_device, forced_alleles)
+            if isinstance(result, tuple):
+                alleles, ref_lines = result
+                write_spliced(writer, alleles, ref_lines)
+            else:
+                alleles = result
+                mapper = make_region_mapper(options, chrom, intervals)
+                writer.write(alleles, mapper)
+                writer.write_remaining(mapper)
             if bias_writer is not None:
                 bias_writer.write(alleles)
                 amp_bias_writer.write(alleles)

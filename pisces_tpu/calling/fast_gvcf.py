@@ -1,0 +1,160 @@
+"""Columnar gVCF reference-line pipeline (the dense hot path).
+
+gVCF output is O(genome length) (SURVEY: RegionState.GetAllCandidates makes
+per-base ref synthesis the dominant volume path). Instead of materializing a
+Candidate + CalledAllele object per covered position, this path:
+
+  1. scores every touched position with the fused device kernel
+     (ops/jax_scoring.score_reference_loci) in one pass,
+  2. formats reference VCF lines columnar on the host,
+  3. leaves variant positions to the exact object pipeline and splices the
+     two streams by position at write time.
+
+Output is byte-identical to the object path (asserted in tests); positions
+needing non-columnar semantics (gapped-MNV ref adjustments) fall back to the
+object path.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from pisces_tpu.domain.types import AlleleType, Genotype
+from pisces_tpu.options import PiscesApplicationOptions
+from pisces_tpu.pileup.counts import PileupCounts
+from pisces_tpu.io.vcf_write import VcfWriterConfig, dotnet_format
+
+_GT_STR = {
+    int(Genotype.HOMOZYGOUS_REF): "0/0",
+    int(Genotype.REF_LIKE_NOCALL): "./.",
+    int(Genotype.REF_AND_NOCALL): "0/.",
+}
+
+
+def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
+                              params, use_device: bool = True):
+    """Run the fused scoring kernel over all touched positions with
+    total support > 0. Returns (positions[int64], outputs dict)."""
+    from pisces_tpu.domain.types import BASE_TO_ALLELE
+
+    nb = len(pc.block_keys)
+    if nb == 0:
+        return np.empty(0, np.int64), None
+    block_size = pc.block_size
+    starts = (pc.block_keys - 1) * block_size + 1
+    positions = (starts[:, None] + np.arange(block_size)[None, :]).reshape(-1)
+    counts = pc.counts.reshape(nb * block_size, *pc.counts.shape[2:])
+    total_support = counts.sum(axis=(1, 2, 3))
+    in_ref = positions <= len(refseq)
+    sel = (total_support > 0) & in_ref
+    positions = positions[sel]
+    counts = counts[sel]
+    if len(positions) == 0:
+        return positions, None
+    ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
+
+    if use_device:
+        import jax
+        from pisces_tpu.ops.jax_scoring import score_reference_loci
+        out = score_reference_loci(jax.device_put(counts.astype(np.int32)),
+                                   jax.device_put(ref_codes), params)
+        out = {k: np.asarray(v) for k, v in out.items()}
+    else:
+        out = _score_host(counts, ref_codes, params)
+    out["ref_base"] = refseq[positions - 1]
+    return positions, out
+
+
+def _score_host(counts, ref_codes, params):
+    """Host (f64) equivalent of the fused kernel, for parity testing."""
+    from pisces_tpu.domain.types import COVERAGE_CONTRIBUTING_ALLELES
+    from pisces_tpu.ops import stats
+    cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
+    c = counts.sum(axis=-1)
+    cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
+    total_cov = cov_by_dir.sum(axis=-1)
+    support_by_dir = c[np.arange(len(c)), ref_codes, :]
+    support = support_by_dir.sum(axis=-1)
+    q = stats.compute_variant_qscores(support, total_cov,
+                                      params.max_variant_qscore,
+                                      params.noise_level)
+    q = np.where((total_cov == 0) | (support <= 0), 0, q)
+    freq = np.where(total_cov == 0, 0.0,
+                    np.minimum(support.astype(np.float32)
+                               / np.maximum(total_cov, 1).astype(np.float32), 1.0))
+    sb = stats.compute_strand_bias(support_by_dir, cov_by_dir,
+                                   params.noise_level, params.min_frequency,
+                                   params.sb_acceptance, 1)
+    gatk = np.where(support > 0, sb["gatk_bias_score"], 0.0)
+    gt = stats.somatic_genotypes(np.ones(len(c), bool), freq, freq, total_cov,
+                                 params.min_frequency_filter, params.min_depth)
+    gq = stats.somatic_genotype_qscores(gt, q, freq, total_cov,
+                                        params.target_lod, params.min_gq,
+                                        params.max_gq)
+    return {
+        "total_coverage": total_cov,
+        "support": support,
+        "variant_qscore": q,
+        "frequency": freq,
+        "genotype": gt,
+        "gq": gq,
+        "sb_gatk": gatk,
+    }
+
+
+def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
+                           wcfg: VcfWriterConfig,
+                           low_depth_filter: int,
+                           qscore_filter: int) -> List[str]:
+    """Columnar VCF line formatting for reference loci (uncrushed mode,
+    FORMAT GT:GQ:AD:DP:VF[:NL:SB])."""
+    n = len(positions)
+    if n == 0:
+        return []
+    total = out["total_coverage"]
+    support = out["support"]
+    q = out["variant_qscore"]
+    gq = out["gq"]
+    gt = out["genotype"]
+    gatk = np.clip(out["sb_gatk"], -100.0, 0.0)
+    ref_base = out["ref_base"]
+    freq_digits = wcfg.freq_decimals
+    include_sb = wcfg.should_output_strand_bias_and_noise_level
+    nl = wcfg.estimated_base_call_quality
+
+    # FILTER column
+    low_dp = total < low_depth_filter
+    low_q = (q < qscore_filter) & (total != 0)
+
+    # VF for refs: 1 - freq (0 when no coverage); freq = support/total in f32
+    with np.errstate(invalid="ignore"):
+        vf = np.where(total == 0, 0.0,
+                      1.0 - np.minimum(
+                          support.astype(np.float32)
+                          / np.maximum(total, 1).astype(np.float32), 1.0))
+
+    lines: List[str] = []
+    q_filter_tag = f"q{qscore_filter}"
+    for i in range(n):
+        if low_dp[i] and low_q[i]:
+            filt = f"LowDP;{q_filter_tag}"
+        elif low_dp[i]:
+            filt = "LowDP"
+        elif low_q[i]:
+            filt = q_filter_tag
+        else:
+            filt = "PASS"
+        gt_s = _GT_STR.get(int(gt[i]), "./.")
+        vf_s = dotnet_format(float(vf[i]), freq_digits)
+        base = chr(ref_base[i])
+        if include_sb:
+            sample = (f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}:"
+                      f"{nl}:{dotnet_format(float(gatk[i]), 4)}")
+            fmt = "GT:GQ:AD:DP:VF:NL:SB"
+        else:
+            sample = f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}"
+            fmt = "GT:GQ:AD:DP:VF"
+        lines.append(f"{chrom}\t{positions[i]}\t.\t{base}\t.\t{q[i]}\t{filt}\t"
+                     f"DP={total[i]}\t{fmt}\t{sample}")
+    return lines

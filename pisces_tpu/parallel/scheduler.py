@@ -181,6 +181,10 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
                 if not payload:
                     return
                 alleles, intervals = payload
+                if isinstance(alleles, tuple):
+                    from pisces_tpu.apps.pisces import write_spliced
+                    write_spliced(writer, alleles[0], alleles[1])
+                    return
                 chrom = genome.get_chr_reference(chrom_name)
                 mapper = make_region_mapper(options, chrom, intervals)
                 writer.write(alleles, mapper)
