@@ -64,10 +64,55 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         from pisces_tpu.pileup.directions import batch_base_directions
         base_dirs = batch_base_directions(batch, keep)
 
-    ev = build_base_events(batch, keep, bf.minimum_base_call_quality,
-                           options.tracked_anchor_size, base_dirs=base_dirs)
-    builder = build_counts_device if use_device else build_counts_host
-    pc = builder(ev, anchor_size=options.tracked_anchor_size)
+    from pisces_tpu.pileup.counts import candidate_anchor_positions
+    from pisces_tpu.io.native import NativeBamReader, native_pileup
+    native_flow = (isinstance(bam, NativeBamReader)
+                   and getattr(batch, "_from_native_handle", False)
+                   and not options.call_mnvs and not track_amplicons
+                   and batch.extra_tags is None)
+    if native_flow:
+        # C++ hot loop: events + scatter + SNV mismatch extraction in one pass
+        from pisces_tpu.domain.types import BASE_TO_ALLELE
+        from pisces_tpu.pileup.candidates_fast import (
+            aggregate_native_mismatches, find_indel_candidates,
+        )
+        indels = find_indel_candidates(
+            chrom.name, chrom.sequence, batch, keep,
+            bf.minimum_base_call_quality, options.tracked_anchor_size,
+            track_open_ended=options.collapse, base_dirs=base_dirs)
+        anchor_positions = candidate_anchor_positions(indels)
+        if base_dirs is not None:
+            base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
+        pc, mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
+                               options.tracked_anchor_size, 1000,
+                               anchor_positions, base_dirs,
+                               ref_codes=BASE_TO_ALLELE[chrom.sequence],
+                               track_open_ended=options.collapse)
+        candidates = aggregate_native_mismatches(
+            chrom.name, chrom.sequence, *mm) + indels
+    else:
+        candidates, _ = find_candidates_batch(
+            chrom.name, chrom.sequence, batch, keep,
+            bf.minimum_base_call_quality, options.call_mnvs,
+            options.max_size_mnv, options.max_gap_between_mnv,
+            options.tracked_anchor_size,
+            track_open_ended=options.collapse,
+            track_amplicons=track_amplicons)
+        anchor_positions = candidate_anchor_positions(candidates)
+        if isinstance(bam, NativeBamReader) and getattr(
+                batch, "_from_native_handle", False):
+            if base_dirs is not None:
+                base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
+            pc, _mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
+                                    options.tracked_anchor_size,
+                                    1000, anchor_positions, base_dirs)
+        else:
+            ev = build_base_events(batch, keep, bf.minimum_base_call_quality,
+                                   options.tracked_anchor_size,
+                                   base_dirs=base_dirs)
+            builder = build_counts_device if use_device else build_counts_host
+            pc = builder(ev, anchor_size=options.tracked_anchor_size,
+                         anchored_positions=anchor_positions)
 
     amp_cov = None
     if track_amplicons:
@@ -81,12 +126,6 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     if options.coverage_method == CoverageMethod.EXACT:
         from pisces_tpu.ops.exact_coverage import build_read_summaries
         read_summaries = build_read_summaries(batch, keep, base_dirs)
-
-    candidates, _ = find_candidates_batch(
-        chrom.name, chrom.sequence, batch, keep,
-        bf.minimum_base_call_quality, options.call_mnvs, options.max_size_mnv,
-        options.max_gap_between_mnv, options.tracked_anchor_size,
-        track_open_ended=options.collapse, track_amplicons=track_amplicons)
 
     if forced_alleles:
         from pisces_tpu.pileup.candidates import Candidate
@@ -319,7 +358,8 @@ def main(argv=None) -> int:
     p.add_argument("-MinDepth", "-mindp", type=int, default=10)
     p.add_argument("-ploidy", default="somatic")
     p.add_argument("-RMxNFilter", default="5,9,0.35")
-    p.add_argument("-backend", default="jax", choices=["jax", "numpy"])
+    p.add_argument("-backend", default="numpy", choices=["jax", "numpy"],
+               help="per-locus scoring backend; jax moves the fused kernel to the accelerator (best with locally-attached TPUs; tunneled devices are readback-bound)")
     p.add_argument("-MaxNumThreads", "-t", type=int, default=1)
     p.add_argument("-MultiProcess", default="false")
     p.add_argument("-ForcedAlleles", default=None)

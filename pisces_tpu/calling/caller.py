@@ -377,7 +377,7 @@ def make_reference_candidates(chrom: str, refseq: np.ndarray, pc: PileupCounts,
     nb = len(pc.block_keys)
     if nb == 0:
         return out
-    counts_t = pc.counts.sum(axis=-1)     # [NB, B, 6, 3]
+    counts_t = pc.counts_t               # [NB, B, 6, 3]
     total_support = counts_t.sum(axis=(2, 3))  # [NB, B]
     for bi in range(nb):
         key = int(pc.block_keys[bi])

@@ -55,13 +55,34 @@ class VariantCollapser:
                            c.ref_allele, c.alt_allele, c.support,
                            int(c.open_on_right), int(c.open_on_left)))
 
+        # position index: every CanCollapse relation constrains the target to
+        # lie within the candidate's length of its position, so only a small
+        # window of targets needs scanning (the reference scans whole batches,
+        # but its batches are single blocks; whole-chromosome batches need
+        # the index to avoid quadratic work)
+        from collections import defaultdict
+        by_pos = defaultdict(list)
+        for v in targets:
+            by_pos[v.position].append(v)
+        max_len = max((v.length for v in targets), default=1)
+
+        removed = set()
         for cand in to_collapse:
-            match = self._get_match(cand, targets, source)
+            if id(cand) in removed:
+                continue
+            window = []
+            for p in range(cand.position - max_len - 1,
+                           cand.position + max_len + 2):
+                window.extend(v for v in by_pos.get(p, ())
+                              if id(v) not in removed)
+            match = self._get_match(cand, window, source)
             if match is not None:
                 self.total_num_collapsed += 1
                 self._merge(match, cand)
-                targets = [v for v in targets if v is not cand]
-                candidates = [v for v in candidates if v is not cand]
+                removed.add(id(cand))
+        if removed:
+            targets = [v for v in targets if id(v) not in removed]
+            candidates = [v for v in candidates if id(v) not in removed]
 
         if max_cleared_position is not None:
             not_cleared = [c for c in candidates

@@ -44,7 +44,10 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
     block_size = pc.block_size
     starts = (pc.block_keys - 1) * block_size + 1
     positions = (starts[:, None] + np.arange(block_size)[None, :]).reshape(-1)
-    counts = pc.counts.reshape(nb * block_size, *pc.counts.shape[2:])
+    # totals with a singleton anchor axis: the fused kernel's anchor-sum
+    # reduction is then a no-op
+    counts = pc.counts_t.reshape(nb * block_size,
+                                 *pc.counts_t.shape[2:])[..., None]
     total_support = counts.sum(axis=(1, 2, 3))
     in_ref = positions <= len(refseq)
     sel = (total_support > 0) & in_ref
@@ -134,27 +137,52 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
                           support.astype(np.float32)
                           / np.maximum(total, 1).astype(np.float32), 1.0))
 
-    lines: List[str] = []
+    # memoized formatting: VF/SB values repeat heavily (ratios of small ints)
+    vf_memo: Dict[float, str] = {}
+    sb_memo: Dict[float, str] = {}
+
+    def fmt_vf(x: float) -> str:
+        s = vf_memo.get(x)
+        if s is None:
+            s = dotnet_format(x, freq_digits)
+            vf_memo[x] = s
+        return s
+
+    def fmt_sb(x: float) -> str:
+        s = sb_memo.get(x)
+        if s is None:
+            s = dotnet_format(x, 4)
+            sb_memo[x] = s
+        return s
+
     q_filter_tag = f"q{qscore_filter}"
-    for i in range(n):
-        if low_dp[i] and low_q[i]:
-            filt = f"LowDP;{q_filter_tag}"
-        elif low_dp[i]:
-            filt = "LowDP"
-        elif low_q[i]:
-            filt = q_filter_tag
-        else:
-            filt = "PASS"
-        gt_s = _GT_STR.get(int(gt[i]), "./.")
-        vf_s = dotnet_format(float(vf[i]), freq_digits)
-        base = chr(ref_base[i])
-        if include_sb:
-            sample = (f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}:"
-                      f"{nl}:{dotnet_format(float(gatk[i]), 4)}")
-            fmt = "GT:GQ:AD:DP:VF:NL:SB"
-        else:
-            sample = f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}"
-            fmt = "GT:GQ:AD:DP:VF"
-        lines.append(f"{chrom}\t{positions[i]}\t.\t{base}\t.\t{q[i]}\t{filt}\t"
-                     f"DP={total[i]}\t{fmt}\t{sample}")
+    filt_lut = ["PASS", q_filter_tag, "LowDP", f"LowDP;{q_filter_tag}"]
+    filt_code = (low_dp.astype(np.int8) << 1) | low_q.astype(np.int8)
+    gt_lut = {k: v for k, v in _GT_STR.items()}
+
+    pos_l = positions.tolist()
+    q_l = q.tolist()
+    gq_l = gq.tolist()
+    sup_l = support.tolist()
+    tot_l = total.tolist()
+    gt_l = gt.tolist()
+    vf_l = vf.tolist()
+    gatk_l = gatk.tolist()
+    fc_l = filt_code.tolist()
+    base_l = [chr(b) for b in ref_base.tolist()]
+
+    lines: List[str] = []
+    append = lines.append
+    if include_sb:
+        for i in range(n):
+            append(f"{chrom}\t{pos_l[i]}\t.\t{base_l[i]}\t.\t{q_l[i]}\t"
+                   f"{filt_lut[fc_l[i]]}\tDP={tot_l[i]}\tGT:GQ:AD:DP:VF:NL:SB\t"
+                   f"{gt_lut.get(gt_l[i], './.')}:{gq_l[i]}:{sup_l[i]}:"
+                   f"{tot_l[i]}:{fmt_vf(vf_l[i])}:{nl}:{fmt_sb(gatk_l[i])}")
+    else:
+        for i in range(n):
+            append(f"{chrom}\t{pos_l[i]}\t.\t{base_l[i]}\t.\t{q_l[i]}\t"
+                   f"{filt_lut[fc_l[i]]}\tDP={tot_l[i]}\tGT:GQ:AD:DP:VF\t"
+                   f"{gt_lut.get(gt_l[i], './.')}:{gq_l[i]}:{sup_l[i]}:"
+                   f"{tot_l[i]}:{fmt_vf(vf_l[i])}")
     return lines

@@ -2,7 +2,9 @@
 
 Provides the reference IAlleleSource contract (GetAlleleCount /
 GetSumOfAlleleBaseQualities / GetGappedMnvRefCount) against the block-tiled
-PileupCounts (RegionStateManager query side, cs:225-260).
+PileupCounts (RegionStateManager query side, cs:225-260). Full-anchor-range
+queries hit the dense totals; anchor-windowed queries hit the sparse
+anchor-resolved rows materialized at candidate positions.
 """
 from __future__ import annotations
 
@@ -20,19 +22,29 @@ class AlleleSource:
         self.expect_stitched_reads = expect_stitched_reads
         self.gapped_mnv_ref_counts: Dict[int, int] = {}
         self.amplicon_coverage = amplicon_coverage or {}
-        self._flat_counts, self._flat_quals = counts.flat_view()
+        self._flat_counts, self._flat_quals = counts.totals_flat()
 
     def get_amplicon_coverage(self, position: int) -> Dict[str, int]:
         """GetCoverageByAmplicon equivalent (RegionState amplicon slots)."""
         return self.amplicon_coverage.get(position, {})
 
+    @staticmethod
+    def _is_full_range(min_anchor, max_anchor, from_end, symmetric) -> bool:
+        """Anchor windows that reduce to the full anchor-axis sum."""
+        return min_anchor == 0 and max_anchor is None
+
     def get_allele_count(self, position: int, allele_type: int, direction: int,
                          min_anchor: int = 0, max_anchor: Optional[int] = None,
                          from_end: bool = False, symmetric: bool = False) -> int:
-        row = int(self.pc.pos_index(position))
-        if row < 0:
+        if self._is_full_range(min_anchor, max_anchor, from_end, symmetric):
+            row = int(self.pc.pos_index(position))
+            if row < 0:
+                return 0
+            return int(self._flat_counts[row, allele_type, direction])
+        ar = self.pc.anchored_row(position)
+        if ar < 0:
             return 0
-        vec = self._flat_counts[row, allele_type, direction]
+        vec = self.pc.anchored_counts[ar, allele_type, direction]
         return int(anchor_window_sum(vec, self.pc.anchor_size, min_anchor,
                                      max_anchor, from_end, symmetric))
 
@@ -41,10 +53,15 @@ class AlleleSource:
                                   max_anchor: Optional[int] = None,
                                   from_end: bool = False,
                                   symmetric: bool = False) -> float:
-        row = int(self.pc.pos_index(position))
-        if row < 0:
+        if self._is_full_range(min_anchor, max_anchor, from_end, symmetric):
+            row = int(self.pc.pos_index(position))
+            if row < 0:
+                return 0.0
+            return float(self._flat_quals[row, allele_type, direction])
+        ar = self.pc.anchored_row(position)
+        if ar < 0:
             return 0.0
-        vec = self._flat_quals[row, allele_type, direction]
+        vec = self.pc.anchored_quals[ar, allele_type, direction]
         return float(anchor_window_sum(vec, self.pc.anchor_size, min_anchor,
                                        max_anchor, from_end, symmetric))
 

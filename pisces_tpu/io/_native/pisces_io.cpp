@@ -17,6 +17,8 @@
 #include <vector>
 
 #include <zlib.h>
+#include <cmath>
+#include <algorithm>
 
 namespace {
 
@@ -341,6 +343,276 @@ int bgzf_decompress(const uint8_t* data, int64_t n, uint8_t* out,
   for (int v : rc)
     if (v != 0) return v;
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native pileup accumulation (RegionStateManager.AddAlleleCounts hot loop)
+// ---------------------------------------------------------------------------
+//
+// Walks the decoded columnar batch once, scattering every counted base
+// (including deletion gaps and terminal deletions) into block-tiled
+// anchor-summed totals plus sparse anchor-resolved rows, exactly matching
+// the Python pileup/events.py + pileup/counts.py semantics.
+
+namespace {
+
+struct PileupResult {
+  std::vector<int64_t> block_keys;
+  std::vector<int32_t> counts_t;   // [nb * block_size * 6 * 3]
+  std::vector<double> qual_t;      // same shape
+  std::vector<int32_t> anchored_counts;  // [K * 6 * 3 * (2A+1)]
+  std::vector<double> anchored_quals;
+  // SNV mismatch events (candidate discovery, call_mnvs=false rules)
+  std::vector<int64_t> mm_gpos;
+  std::vector<int8_t> mm_alt;
+  std::vector<int8_t> mm_dir;
+  std::vector<int8_t> mm_flags;  // bit0 openR, bit1 openL, bit2 well-anchored
+};
+
+PileupResult* g_pileup = nullptr;
+
+inline int anchor_index(int64_t gpos, int64_t start1, int64_t end1, int A) {
+  int64_t left = gpos - start1;
+  int64_t right = end1 - gpos;
+  if (left >= right) {
+    if (right >= A) return A;
+    return 2 * A - (int)right;  // num_idx - right - 1 = 2A+1 - right - 1
+  }
+  if (left >= A) return A;
+  return (int)left;
+}
+
+double kQualToErr[128];
+bool kQualInit = false;
+
+}  // namespace
+
+extern "C" {
+
+int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
+                      int block_size, const int64_t* anchored_pos,
+                      int64_t n_anchored, const int8_t* base_dirs,
+                      const int8_t* ref_codes, int64_t ref_len,
+                      int track_open_ended);
+
+// Accumulate pileup counts for the decoded batch in handle h.
+// keep: uint8 [n] mask; anchored_pos: sorted int64 [n_anchored].
+// base_dirs: optional int8 per sequenced base (stitched XD); null = strand.
+int64_t bam_pileup(void* h, const uint8_t* keep, int min_bq, int anchor_size,
+                   int block_size, const int64_t* anchored_pos,
+                   int64_t n_anchored, const int8_t* base_dirs) {
+  return bam_pileup_mm(h, keep, min_bq, anchor_size, block_size, anchored_pos,
+                       n_anchored, base_dirs, nullptr, 0, 0);
+}
+
+// Full pass: pileup accumulation + SNV mismatch extraction when a reference
+// sequence (allele codes) is supplied. track_open_ended enables the open-end
+// flags (bad-next-base flush + read-boundary annotation).
+int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
+                      int block_size, const int64_t* anchored_pos,
+                      int64_t n_anchored, const int8_t* base_dirs,
+                      const int8_t* ref_codes, int64_t ref_len,
+                      int track_open_ended) {
+  auto* bf = (BamFile*)h;
+  if (!kQualInit) {
+    for (int q = 0; q < 128; q++) kQualToErr[q] = pow(10.0, -q / 10.0);
+    kQualInit = true;
+  }
+  delete g_pileup;
+  g_pileup = new PileupResult();
+  auto& res = *g_pileup;
+
+  size_t n = bf->ref_id.size();
+  const int A = anchor_size;
+  const int K = 2 * A + 1;
+
+  // pass 1: touched block keys
+  std::vector<int64_t> keys;
+  for (size_t i = 0; i < n; i++) {
+    if (!keep[i]) continue;
+    int64_t start1 = (int64_t)bf->pos[i] + 1;
+    int64_t end1 = (int64_t)bf->end_pos[i] + 1;
+    int64_t k0 = (start1 + block_size - 1) / block_size;
+    int64_t k1 = (end1 + block_size - 1) / block_size;
+    for (int64_t k = k0; k <= k1; k++) keys.push_back(k);
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  res.block_keys = keys;
+  int64_t nb = (int64_t)keys.size();
+  res.counts_t.assign(nb * block_size * 18, 0);
+  res.qual_t.assign(nb * block_size * 18, 0.0);
+  res.anchored_counts.assign(n_anchored * 18 * K, 0);
+  res.anchored_quals.assign(n_anchored * 18 * K, 0.0);
+
+  auto row_of = [&](int64_t gpos) -> int64_t {
+    int64_t key = (gpos + block_size - 1) / block_size;
+    auto it = std::lower_bound(keys.begin(), keys.end(), key);
+    if (it == keys.end() || *it != key) return -1;
+    int64_t slot = it - keys.begin();
+    return slot * block_size + (gpos - 1) % block_size;
+  };
+  auto anchored_of = [&](int64_t gpos) -> int64_t {
+    if (n_anchored == 0) return -1;
+    const int64_t* e = anchored_pos + n_anchored;
+    const int64_t* it = std::lower_bound(anchored_pos, e, gpos);
+    if (it == e || *it != gpos) return -1;
+    return it - anchored_pos;
+  };
+  auto add = [&](int64_t gpos, int allele, int dir, int anchor, double qerr) {
+    int64_t row = row_of(gpos);
+    if (row >= 0) {
+      int64_t idx = (row * 6 + allele) * 3 + dir;
+      res.counts_t[idx] += 1;
+      res.qual_t[idx] += qerr;
+    }
+    int64_t ar = anchored_of(gpos);
+    if (ar >= 0) {
+      int64_t idx = ((ar * 6 + allele) * 3 + dir) * K + anchor;
+      res.anchored_counts[idx] += 1;
+      res.anchored_quals[idx] += qerr;
+    }
+  };
+
+  for (size_t i = 0; i < n; i++) {
+    if (!keep[i]) continue;
+    int64_t start1 = (int64_t)bf->pos[i] + 1;
+    int64_t end1 = (int64_t)bf->end_pos[i] + 1;
+    int64_t co = bf->cigar_off[i], ce = bf->cigar_off[i + 1];
+    int64_t so = bf->seq_off[i], se = bf->seq_off[i + 1];
+    int64_t read_len = se - so;
+    int dir_uniform = (bf->flag[i] & 0x10) ? 1 : 0;
+
+    int64_t ref = start1;
+    int64_t rd = 0;
+    int64_t last_pos = start1 - 1;
+    for (int64_t c = co; c < ce; c++) {
+      uint8_t op = bf->cigar_ops[c];
+      int32_t ln = bf->cigar_lens[c];
+      if (op == 0 || op == 7 || op == 8) {  // M
+        for (int32_t k = 0; k < ln; k++) {
+          int64_t gpos = ref + k;
+          int64_t sidx = so + rd + k;
+          uint8_t q = bf->qual[sidx];
+          int dir = base_dirs ? base_dirs[sidx] : dir_uniform;
+          // deletion gap before this base
+          if (gpos - last_pos - 1 > 0) {
+            uint8_t prevq = (rd + k > 0) ? bf->qual[sidx - 1] : q;
+            if (q >= min_bq && prevq >= min_bq) {
+              int anc = anchor_index(gpos, start1, end1, A);
+              for (int64_t j = last_pos + 1; j < gpos; j++)
+                add(j, 5, dir, anc, 0.0);
+            }
+          }
+          int allele = bf->seq[sidx];
+          if (q < min_bq) allele = 4;  // N
+          int anc = anchor_index(gpos, start1, end1, A);
+          add(gpos, allele, dir, anc, kQualToErr[q & 0x7f]);
+          last_pos = gpos;
+        }
+        ref += ln;
+        rd += ln;
+      } else if (op == 1 || op == 4) {  // I / S
+        rd += ln;
+      } else if (op == 2 || op == 3) {  // D / N: handled as gaps above
+        ref += ln;
+      }
+    }
+    // SNV mismatch extraction (second sweep over M ops, with open-end rules)
+    if (ref_codes) {
+      // effective first/last ops for boundary annotation
+      uint8_t f_eff = (ce > co) ? bf->cigar_ops[co] : 9;
+      if (f_eff == 4 && ce - co > 1) f_eff = bf->cigar_ops[co + 1];
+      uint8_t l_eff = (ce > co) ? bf->cigar_ops[ce - 1] : 9;
+      if (l_eff == 4 && ce - co > 1) l_eff = bf->cigar_ops[ce - 2];
+      bool first_m = (f_eff == 0 || f_eff == 7 || f_eff == 8);
+      bool last_m = (l_eff == 0 || l_eff == 7 || l_eff == 8);
+
+      int64_t ref2 = start1;
+      int64_t rd2 = 0;
+      for (int64_t c = co; c < ce; c++) {
+        uint8_t op = bf->cigar_ops[c];
+        int32_t ln = bf->cigar_lens[c];
+        if (op == 0 || op == 7 || op == 8) {
+          for (int32_t k = 0; k < ln; k++) {
+            int64_t gpos = ref2 + k;
+            if (gpos > ref_len) break;
+            int64_t sidx = so + rd2 + k;
+            int8_t rc = ref_codes[gpos - 1];
+            int8_t bc = bf->seq[sidx];
+            uint8_t q = bf->qual[sidx];
+            if (q < min_bq || bc == 4 || rc == 4 || bc == rc) continue;
+            bool open_l = false, open_r = false;
+            if (track_open_ended) {
+              // state machine: next base in the same M op is bad
+              if (k + 1 < ln && gpos + 1 <= ref_len) {
+                int64_t nidx = sidx + 1;
+                int8_t nrc = ref_codes[gpos];
+                if (bf->qual[nidx] < min_bq || bf->seq[nidx] == 4 || nrc == 4)
+                  open_r = true;
+              }
+              if (first_m && gpos == start1) open_l = true;
+              if (last_m && gpos == end1) open_r = true;
+            }
+            int64_t left = gpos - start1;
+            int64_t right = end1 - gpos;
+            bool wa = (left < right ? left : right) > 0;
+            int dir = base_dirs ? base_dirs[sidx] : dir_uniform;
+            res.mm_gpos.push_back(gpos);
+            res.mm_alt.push_back(bc);
+            res.mm_dir.push_back((int8_t)dir);
+            res.mm_flags.push_back((int8_t)((open_r ? 1 : 0) |
+                                            (open_l ? 2 : 0) | (wa ? 4 : 0)));
+          }
+          ref2 += ln;
+          rd2 += ln;
+        } else if (op == 1 || op == 4) {
+          rd2 += ln;
+        } else if (op == 2 || op == 3) {
+          ref2 += ln;
+        }
+      }
+    }
+
+    // terminal deletion (cigar ends in D, or D before trailing S)
+    uint8_t last_op = (ce > co) ? bf->cigar_ops[ce - 1] : 0;
+    uint8_t prev_op = (ce - co >= 2) ? bf->cigar_ops[ce - 2] : 0;
+    bool ends_d = last_op == 2;
+    bool ends_d_s = (last_op == 4 && prev_op == 2);
+    if (ends_d || ends_d_s) {
+      int32_t dlen = ends_d_s ? bf->cigar_lens[ce - 2] : bf->cigar_lens[ce - 1];
+      int64_t chk = ends_d_s ? read_len - bf->cigar_lens[ce - 1] : read_len - 1;
+      if (read_len > 0) {
+        uint8_t after = (chk < read_len) ? bf->qual[so + chk] : bf->qual[so + chk - 1];
+        uint8_t before = (chk > 0) ? bf->qual[so + chk - 1] : after;
+        if (after >= min_bq && before >= min_bq) {
+          int64_t di = so + (chk < read_len ? chk : read_len - 1);
+          int dir = base_dirs ? base_dirs[di] : dir_uniform;
+          int64_t last_mapped = end1 - dlen;
+          for (int32_t j = 1; j <= dlen; j++)
+            add(last_mapped + j, 5, dir, K - 1, 0.0);
+        }
+      }
+    }
+  }
+  return nb;
+}
+
+const int64_t* pileup_block_keys(void*) { return g_pileup->block_keys.data(); }
+int64_t pileup_n_mismatches(void*) { return (int64_t)g_pileup->mm_gpos.size(); }
+const int64_t* pileup_mm_gpos(void*) { return g_pileup->mm_gpos.data(); }
+const int8_t* pileup_mm_alt(void*) { return g_pileup->mm_alt.data(); }
+const int8_t* pileup_mm_dir(void*) { return g_pileup->mm_dir.data(); }
+const int8_t* pileup_mm_flags(void*) { return g_pileup->mm_flags.data(); }
+const int32_t* pileup_counts_t(void*) { return g_pileup->counts_t.data(); }
+const double* pileup_qual_t(void*) { return g_pileup->qual_t.data(); }
+const int32_t* pileup_anchored_counts(void*) {
+  return g_pileup->anchored_counts.data();
+}
+const double* pileup_anchored_quals(void*) {
+  return g_pileup->anchored_quals.data();
 }
 
 }  // extern "C"

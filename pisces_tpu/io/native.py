@@ -105,7 +105,7 @@ class NativeBamReader:
     def n_records(self) -> int:
         return int(self._lib.bam_n_records(self._h))
 
-    def fetch(self, ref_id: Optional[int] = None):
+    def _fetch_impl(self, ref_id: Optional[int] = None):
         from pisces_tpu.io.bam import ReadBatch
         lib = self._lib
         n = int(lib.bam_decode(self._h, -1 if ref_id is None else ref_id))
@@ -128,6 +128,11 @@ class NativeBamReader:
             end_pos=_as_array(lib.bam_col_end_pos(self._h), n, np.int32),
         )
 
+    def fetch(self, ref_id: Optional[int] = None):
+        batch = self._fetch_impl(ref_id)
+        batch._from_native_handle = True
+        return batch
+
     def close(self):
         if self._h:
             self._lib.bam_close(self._h)
@@ -149,3 +154,96 @@ def open_bam(path: str, prefer_native: bool = True):
             pass
     from pisces_tpu.io.bam import BamReader
     return BamReader(path)
+
+
+def _bind_pileup(lib):
+    if hasattr(lib, "_pileup_bound"):
+        return
+    lib.bam_pileup.restype = ctypes.c_int64
+    lib.bam_pileup.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int8)]
+    lib.bam_pileup_mm.restype = ctypes.c_int64
+    lib.bam_pileup_mm.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int]
+    lib.pileup_n_mismatches.restype = ctypes.c_int64
+    lib.pileup_n_mismatches.argtypes = [ctypes.c_void_p]
+    for name, ct in [("pileup_mm_gpos", ctypes.c_int64),
+                     ("pileup_mm_alt", ctypes.c_int8),
+                     ("pileup_mm_dir", ctypes.c_int8),
+                     ("pileup_mm_flags", ctypes.c_int8)]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
+    for name, ct in [("pileup_block_keys", ctypes.c_int64),
+                     ("pileup_counts_t", ctypes.c_int32),
+                     ("pileup_qual_t", ctypes.c_double),
+                     ("pileup_anchored_counts", ctypes.c_int32),
+                     ("pileup_anchored_quals", ctypes.c_double)]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
+    lib._pileup_bound = True
+
+
+def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
+                  anchor_size: int, block_size: int,
+                  anchored_positions: Optional[np.ndarray] = None,
+                  base_dirs: Optional[np.ndarray] = None,
+                  ref_codes: Optional[np.ndarray] = None,
+                  track_open_ended: bool = True):
+    """Run the C++ pileup accumulation over the reader's decoded batch.
+    Returns (PileupCounts, mismatches) where mismatches is None unless
+    ref_codes is given, else (gpos, alt, dir, flags) event arrays for SNV
+    candidate aggregation."""
+    from pisces_tpu.pileup.counts import PileupCounts
+    from pisces_tpu.domain.types import (
+        NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES, num_anchor_indexes,
+    )
+    lib = reader._lib
+    _bind_pileup(lib)
+    keep_u8 = np.ascontiguousarray(keep.astype(np.uint8))
+    if anchored_positions is None or len(anchored_positions) == 0:
+        ap = np.empty(0, dtype=np.int64)
+    else:
+        ap = np.unique(np.asarray(anchored_positions, dtype=np.int64))
+    ap_c = np.ascontiguousarray(ap)
+    rc = (np.ascontiguousarray(ref_codes, dtype=np.int8)
+          if ref_codes is not None else None)
+    nb = lib.bam_pileup_mm(
+        reader._h, keep_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        min_bq, anchor_size, block_size,
+        ap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ap_c),
+        (base_dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+         if base_dirs is not None else None),
+        (rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+         if rc is not None else None),
+        0 if rc is None else len(rc), 1 if track_open_ended else 0)
+    k = num_anchor_indexes(anchor_size)
+    shape_t = (nb, block_size, NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES)
+    block_keys = _as_array(lib.pileup_block_keys(reader._h), nb, np.int64)
+    n_t = nb * block_size * 18
+    counts_t = _as_array(lib.pileup_counts_t(reader._h), n_t,
+                         np.int32).reshape(shape_t)
+    qual_t = _as_array(lib.pileup_qual_t(reader._h), n_t,
+                       np.float64).reshape(shape_t)
+    n_a = len(ap_c) * 18 * k
+    ac = _as_array(lib.pileup_anchored_counts(reader._h), n_a, np.int32)\
+        .reshape(len(ap_c), NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES, k)
+    aq = _as_array(lib.pileup_anchored_quals(reader._h), n_a, np.float64)\
+        .reshape(len(ap_c), NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES, k)
+    pc = PileupCounts(block_keys, block_size, anchor_size, counts_t, qual_t,
+                      ap_c, ac, aq)
+    mismatches = None
+    if ref_codes is not None:
+        n_mm = int(lib.pileup_n_mismatches(reader._h))
+        mismatches = (
+            _as_array(lib.pileup_mm_gpos(reader._h), n_mm, np.int64),
+            _as_array(lib.pileup_mm_alt(reader._h), n_mm, np.int8),
+            _as_array(lib.pileup_mm_dir(reader._h), n_mm, np.int8),
+            _as_array(lib.pileup_mm_flags(reader._h), n_mm, np.int8))
+    return pc, mismatches

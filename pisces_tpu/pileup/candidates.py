@@ -264,7 +264,7 @@ def find_candidates_read(
                                   AlleleCategory.INSERTION)
                     d = _support_dir(AlleleCategory.INSERTION, start_read, ln + 1)
                     c.support_by_direction[d] = 1
-                    if _well_anchored(c.position, pos1, end1, ln, anchor_size):
+                    if _well_anchored(c.position, pos1, end1, ln + 1, anchor_size):
                         c.well_anchored_by_direction[d] = 1
                     candidates.append(c)
         elif op == OP_D:
@@ -341,8 +341,27 @@ def find_candidates_batch(
     track_open_ended: bool = True,
     track_amplicons: bool = False,
 ) -> Tuple[List[Candidate], CandidateAggregator]:
-    """Find + aggregate candidates for all kept reads of a batch."""
+    """Find + aggregate candidates for all kept reads of a batch.
+
+    When MNV calling is off (the reference default) the vectorized fast path
+    replaces the per-read state machine; equivalence is asserted in tests.
+    """
     from pisces_tpu.domain.types import BASE_TO_ALLELE
+    if not call_mnvs and not track_amplicons and batch.extra_tags is None:
+        from pisces_tpu.pileup.candidates_fast import (
+            find_indel_candidates, find_snv_candidates_vectorized,
+        )
+        base_dirs = None
+        if batch.xd_tags is not None and any(batch.xd_tags):
+            from pisces_tpu.pileup.directions import batch_base_directions
+            base_dirs = batch_base_directions(batch, keep)
+        snvs = find_snv_candidates_vectorized(
+            chrom, refseq, batch, keep, min_bq, anchor_size, track_open_ended,
+            base_dirs)
+        indels = find_indel_candidates(
+            chrom, refseq, batch, keep, min_bq, anchor_size, track_open_ended,
+            base_dirs)
+        return snvs + indels, None
     refseq_codes = BASE_TO_ALLELE[refseq]
     dirs = read_directions(batch)
     agg = CandidateAggregator(track_open_ended)

@@ -48,54 +48,52 @@ class ExpandedBases:
 
 
 def expand_batch(batch: ReadBatch, keep: np.ndarray) -> ExpandedBases:
-    """Build the position map for every sequenced base of the kept reads."""
-    kept = np.nonzero(keep)[0]
-    if len(kept) == 0:
+    """Build the position map for every sequenced base of the kept reads.
+
+    Fully vectorized over the flat cigar arrays (no per-read Python loop);
+    cached on the batch so events/candidates share one expansion.
+    """
+    cache = getattr(batch, "_expand_cache", None)
+    if cache is not None and np.array_equal(cache[0], keep):
+        return cache[1]
+    if keep.sum() == 0:
         z = np.empty(0, dtype=np.int64)
-        return ExpandedBases(z.astype(np.int32), z, z)
+        ex = ExpandedBases(z.astype(np.int32), z, z)
+        batch._expand_cache = (keep.copy(), ex)
+        return ex
 
-    # per-op arrays for kept reads
-    op_read_idx_l = []
-    ops_l, lens_l, read_cum_l, ref_cum_l, seq_base_l, pos_l = [], [], [], [], [], []
-    for i in kept:
-        s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
-        ops = batch.cigar_ops[s:e]
-        lens = batch.cigar_lens[s:e].astype(np.int64)
-        consumes_read = OP_CONSUMES_READ[ops]
-        consumes_ref = OP_CONSUMES_REF[ops]
-        read_cum = np.concatenate(([0], np.cumsum(lens * consumes_read)))[:-1]
-        ref_cum = np.concatenate(([0], np.cumsum(lens * consumes_ref)))[:-1]
-        op_read_idx_l.append(np.full(len(ops), i, dtype=np.int32))
-        ops_l.append(ops)
-        lens_l.append(lens)
-        read_cum_l.append(read_cum)
-        ref_cum_l.append(ref_cum)
-        seq_base_l.append(np.full(len(ops), batch.seq_off[i], dtype=np.int64))
-        pos_l.append(np.full(len(ops), batch.pos[i] + 1, dtype=np.int64))  # 1-based
+    n_ops_per_read = np.diff(batch.cigar_off)
+    op_read_idx = np.repeat(np.arange(batch.n, dtype=np.int32), n_ops_per_read)
+    ops = batch.cigar_ops
+    lens = batch.cigar_lens.astype(np.int64)
+    consumes_read = OP_CONSUMES_READ[ops]
+    consumes_ref = OP_CONSUMES_REF[ops]
 
-    op_read_idx = np.concatenate(op_read_idx_l)
-    ops = np.concatenate(ops_l)
-    lens = np.concatenate(lens_l)
-    read_cum = np.concatenate(read_cum_l)
-    ref_cum = np.concatenate(ref_cum_l)
-    seq_base = np.concatenate(seq_base_l)
-    op_pos = np.concatenate(pos_l)
+    # per-op exclusive prefix sums that reset at read starts
+    g_read = np.concatenate(([0], np.cumsum(lens * consumes_read)))[:-1]
+    g_ref = np.concatenate(([0], np.cumsum(lens * consumes_ref)))[:-1]
+    first_op = batch.cigar_off[:-1]
+    # reads with zero ops map to 0 safely (clipped below by op mask)
+    safe_first = np.minimum(first_op, max(len(ops) - 1, 0))
+    read_cum = g_read - g_read[safe_first][op_read_idx] if len(ops) else g_read
+    ref_cum = g_ref - g_ref[safe_first][op_read_idx] if len(ops) else g_ref
 
-    # expand read-consuming ops to per-base rows
-    rd_mask = OP_CONSUMES_READ[ops]
-    rd_ops_idx = np.nonzero(rd_mask)[0]
+    op_keep = keep[op_read_idx] & consumes_read
+    rd_ops_idx = np.nonzero(op_keep)[0]
     rd_lens = lens[rd_ops_idx]
     total = int(rd_lens.sum())
     rep = np.repeat(rd_ops_idx, rd_lens)
-    # within-op offsets
     starts = np.concatenate(([0], np.cumsum(rd_lens)))[:-1]
     within = np.arange(total, dtype=np.int64) - np.repeat(starts, rd_lens)
 
     read_idx = op_read_idx[rep]
-    seq_idx = seq_base[rep] + read_cum[rep] + within
+    seq_idx = batch.seq_off[read_idx] + read_cum[rep] + within
     mapped = OP_CONSUMES_REF[ops[rep]]
-    gpos = np.where(mapped, op_pos[rep] + ref_cum[rep] + within, -1)
-    return ExpandedBases(read_idx, seq_idx, gpos)
+    pos1 = batch.pos.astype(np.int64) + 1
+    gpos = np.where(mapped, pos1[read_idx] + ref_cum[rep] + within, -1)
+    ex = ExpandedBases(read_idx, seq_idx, gpos)
+    batch._expand_cache = (keep.copy(), ex)
+    return ex
 
 
 def read_directions(batch: ReadBatch) -> np.ndarray:
@@ -112,14 +110,14 @@ def anchor_indexes(gpos, start_pos, end_pos, anchor_size: int) -> np.ndarray:
     well-anchored index A if min(left,right) >= A, else the small-side index:
     left side -> left, right side -> 2A - right.
     """
-    left = gpos - start_pos
-    right = end_pos - gpos
+    left = (gpos - start_pos).astype(np.int32)
+    right = (end_pos - gpos).astype(np.int32)
     num_idx = 2 * anchor_size + 1
     out = np.full(gpos.shape, anchor_size, dtype=np.int8)
     right_small = (left >= right) & (right < anchor_size)
+    np.copyto(out, (num_idx - right - 1).astype(np.int8), where=right_small)
     left_small = (left < right) & (left < anchor_size)
-    out = np.where(right_small, (num_idx - right - 1).astype(np.int8), out)
-    out = np.where(left_small, left.astype(np.int8), out)
+    np.copyto(out, left.astype(np.int8), where=left_small)
     return out
 
 
@@ -184,7 +182,16 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
 
     # --- terminal deletion events -------------------------------------------
     t_gpos_l, t_dir_l, t_anchor_l = [], [], []
-    kept = np.nonzero(keep)[0]
+    # vectorized pre-filter: only reads whose cigar ends in D (or D before S)
+    n_ops = np.diff(batch.cigar_off)
+    last_i = np.maximum(batch.cigar_off[1:] - 1, 0)
+    prev_i = np.maximum(batch.cigar_off[1:] - 2, 0)
+    last_op_arr = batch.cigar_ops[last_i] if len(batch.cigar_ops) else np.empty(0, np.uint8)
+    prev_op_arr = batch.cigar_ops[prev_i] if len(batch.cigar_ops) else np.empty(0, np.uint8)
+    has_term_d = keep & (n_ops > 0) & (
+        (last_op_arr == OP_D) | ((n_ops >= 2) & (last_op_arr == OP_S)
+                                 & (prev_op_arr == OP_D)))
+    kept = np.nonzero(has_term_d)[0]
     for i in kept:
         s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
         ops = batch.cigar_ops[s:e]

@@ -58,7 +58,7 @@ class TestBasicCounts:
         _, pc = build([dict(pos1=100, cigar="2M2I2M", seq="AACCAA", qual=30)])
         for p in (100, 101, 102, 103):
             assert count(pc, p, A.A, D.FORWARD) == 1
-        assert pc.counts[..., int(A.C), :, :].sum() == 0
+        assert pc.counts_t[..., int(A.C), :].sum() == 0
 
     def test_deletion_gap_counts(self):
         _, pc = build([dict(pos1=100, cigar="2M3D2M", seq="AAAA", qual=30)])
@@ -155,8 +155,8 @@ class TestDeviceParity:
         ev, pc_host = build(reads)
         _, pc_dev = build(reads, device=True)
         np.testing.assert_array_equal(pc_host.block_keys, pc_dev.block_keys)
-        np.testing.assert_array_equal(pc_host.counts, pc_dev.counts)
-        np.testing.assert_allclose(pc_host.qual_sums, pc_dev.qual_sums,
+        np.testing.assert_array_equal(pc_host.counts_t, pc_dev.counts_t)
+        np.testing.assert_allclose(pc_host.qual_t, pc_dev.qual_t,
                                    rtol=1e-5, atol=1e-7)
 
 
