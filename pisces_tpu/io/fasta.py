@@ -150,9 +150,40 @@ class Genome:
         raise KeyError(f"Chromosome {name} not in genome {self.directory}")
 
 
-def create_genome_size_xml(directory: str, out_path: Optional[str] = None) -> str:
-    """CreateGenomeSizeFile tool equivalent (src/tools/CreateGenomeSizeFile):
-    generate GenomeSize.xml from the FASTA .fai files in a folder."""
+def write_fai(fa_path: str) -> str:
+    """Build a samtools-compatible .fai for a FASTA with uniform line length."""
+    out = fa_path + ".fai"
+    entries = []
+    with open(fa_path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 1] != b">":
+            raise ValueError(f"malformed FASTA at byte {pos} in {fa_path}")
+        eol = data.index(b"\n", pos)
+        name = data[pos + 1:eol].split()[0].decode()
+        seq_start = eol + 1
+        next_hdr = data.find(b">", seq_start)
+        block = data[seq_start:None if next_hdr < 0 else next_hdr]
+        first_nl = block.find(b"\n")
+        line_bases = first_nl if first_nl >= 0 else len(block)
+        first_line = block[:line_bases]
+        if first_line.endswith(b"\r"):
+            line_bases -= 1
+        line_width = (first_nl + 1) if first_nl >= 0 else len(block)
+        length = len(block.replace(b"\n", b"").replace(b"\r", b""))
+        entries.append(f"{name}\t{length}\t{seq_start}\t{line_bases}\t{line_width}")
+        pos = next_hdr if next_hdr >= 0 else len(data)
+    with open(out, "w") as f:
+        f.write("\n".join(entries) + "\n")
+    return out
+
+
+def create_genome_size_xml(directory: str, out_path: Optional[str] = None,
+                           genome_name: Optional[str] = None) -> str:
+    """CreateGenomeSizeFile tool equivalent (src/tools/CreateGenomeSizeFile
+    Program.cs:33-52): generate GenomeSize.xml from the FASTA files in a
+    folder, creating missing .fai indexes along the way."""
     import glob
     import hashlib
     lines = []
@@ -160,11 +191,11 @@ def create_genome_size_xml(directory: str, out_path: Optional[str] = None) -> st
                  glob.glob(os.path.join(directory, "*.fasta")))
     if not fas:
         raise FileNotFoundError(f"no FASTA files in {directory}")
-    genome_name = os.path.basename(os.path.abspath(directory))
+    genome_name = genome_name or os.path.basename(os.path.abspath(directory))
     for fa in fas:
         fai = fa + ".fai"
         if not os.path.exists(fai):
-            raise FileNotFoundError(f"missing {fai}; index the FASTA first")
+            write_fai(fa)
         with open(fa, "rb") as f:
             md5 = hashlib.md5(f.read()).hexdigest()
         for name, e in read_fai(fai).items():
