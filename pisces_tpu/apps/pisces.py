@@ -362,6 +362,8 @@ def main(argv=None) -> int:
                help="per-locus scoring backend; jax moves the fused kernel to the accelerator (best with locally-attached TPUs; tunneled devices are readback-bound)")
     p.add_argument("-MaxNumThreads", "-t", type=int, default=1)
     p.add_argument("-MultiProcess", default="false")
+    p.add_argument("-Resume", default="false", help="with -MultiProcess: "
+                   "skip chromosomes whose output shard already exists")
     p.add_argument("-ForcedAlleles", default=None)
     p.add_argument("-OutputBiasFiles", default="false")
     p.add_argument("-CollapseVariants", "-Collapse", dest="Collapse",
@@ -403,25 +405,34 @@ def main(argv=None) -> int:
     options.max_num_threads = args.MaxNumThreads
 
     bam_paths = args.bam.split(",")
-    genome = Genome(args.genome)
     use_device = args.backend == "jax"
 
-    if args.MultiProcess.lower() == "true":
-        from pisces_tpu.parallel.scheduler import process_chromosomes_multiprocess
-        for bam_path in bam_paths:
-            out = process_chromosomes_multiprocess(
-                options, bam_path, args.genome, args.MaxNumThreads, use_device)
+    def execute() -> int:
+        genome = Genome(args.genome)
+        if args.MultiProcess.lower() == "true":
+            from pisces_tpu.parallel.scheduler import (
+                process_chromosomes_multiprocess,
+            )
+            for bam_path in bam_paths:
+                out = process_chromosomes_multiprocess(
+                    options, bam_path, args.genome, args.MaxNumThreads,
+                    use_device, resume=args.Resume.lower() == "true")
+                log(f"wrote {out}")
+        elif args.MaxNumThreads > 1 or len(bam_paths) > 1:
+            from pisces_tpu.parallel.scheduler import process_bams_parallel
+            outs = process_bams_parallel(options, bam_paths, genome,
+                                         args.MaxNumThreads, use_device)
+            for out in outs:
+                log(f"wrote {out}")
+        else:
+            out = process_bam(options, bam_paths[0], genome,
+                              use_device=use_device)
             log(f"wrote {out}")
-    elif args.MaxNumThreads > 1 or len(bam_paths) > 1:
-        from pisces_tpu.parallel.scheduler import process_bams_parallel
-        outs = process_bams_parallel(options, bam_paths, genome,
-                                     args.MaxNumThreads, use_device)
-        for out in outs:
-            log(f"wrote {out}")
-    else:
-        out = process_bam(options, bam_paths[0], genome, use_device=use_device)
-        log(f"wrote {out}")
-    return 0
+        return 0
+
+    from pisces_tpu.utils.app import run_application
+    log_dir = args.out or os.path.dirname(os.path.abspath(bam_paths[0]))
+    return run_application("Pisces", execute, options, log_dir)
 
 
 if __name__ == "__main__":

@@ -203,12 +203,22 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
 
 def process_chromosomes_multiprocess(options, bam_path: str, genome_dir: str,
                                      n_processes: int = 4,
-                                     use_device: bool = False) -> str:
+                                     use_device: bool = False,
+                                     resume: bool = False) -> str:
     """P4/P5: one worker process per chromosome, per-chr vcf shards merged
-    by byte concatenation after the header (MultiProcess + ThreadByChr)."""
+    by byte concatenation after the header (MultiProcess + ThreadByChr).
+
+    Shards are written atomically (tmp + rename), so a shard file on disk is
+    a completed unit of work. With resume=True a killed run restarts at
+    shard granularity: completed chromosomes are not re-called (the
+    checkpoint/resume design SURVEY.md flags as the TPU-build upgrade of the
+    reference's crash-retains-completed-chr-files behavior,
+    GenomeProcessor.cs:156-186)."""
+    import json
     import multiprocessing as mp
 
     from pisces_tpu.io.fasta import Genome
+    from pisces_tpu.utils import logger
 
     genome = Genome(genome_dir)
     out_dir = options.output_directory or os.path.dirname(bam_path)
@@ -217,19 +227,41 @@ def process_chromosomes_multiprocess(options, bam_path: str, genome_dir: str,
     stem = stem[:-4] if stem.endswith(".bam") else stem
     gvcf = options.vcf_writing_parameters.output_gvcf_file
     final_vcf = os.path.join(out_dir, stem + (".genome.vcf" if gvcf else ".vcf"))
+    manifest_path = os.path.join(out_dir, f"{stem}.progress.json")
 
     chrom_names = genome.chromosome_names
-    args = [(options, bam_path, genome_dir, c, use_device,
-             os.path.join(out_dir, f"{stem}.vcf_{c}")) for c in chrom_names]
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(min(n_processes, len(args))) as pool:
-        shard_paths = pool.map(_run_chromosome_shard, args)
+    shard_of = {c: os.path.join(out_dir, f"{stem}.vcf_{c}")
+                for c in chrom_names}
+    done = {c for c in chrom_names
+            if resume and os.path.exists(shard_of[c])}
+    if done:
+        logger.log(f"resume: skipping {len(done)} completed shard(s): "
+                   + ",".join(sorted(done)))
+    todo = [c for c in chrom_names if c not in done]
+    args = [(options, bam_path, genome_dir, c, use_device, shard_of[c])
+            for c in todo]
+
+    def write_manifest():
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump({"bam": bam_path, "completed": sorted(done),
+                       "total": len(chrom_names)}, f, indent=1)
+        os.replace(manifest_path + ".tmp", manifest_path)
+
+    write_manifest()
+    if args:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(n_processes, len(args))) as pool:
+            for chrom, _path in pool.imap_unordered(_run_chromosome_shard,
+                                                    args):
+                done.add(chrom)
+                write_manifest()
 
     # merge: full header from shard 0, then data lines of each shard in order
     with open(final_vcf, "w", newline="\n") as out:
         wrote_header = False
-        for sp in shard_paths:
-            if sp is None or not os.path.exists(sp):
+        for c in chrom_names:
+            sp = shard_of[c]
+            if not os.path.exists(sp):
                 continue
             with open(sp) as f:
                 for line in f:
@@ -240,14 +272,19 @@ def process_chromosomes_multiprocess(options, bam_path: str, genome_dir: str,
                         out.write(line)
             wrote_header = True
             os.unlink(sp)
+    if os.path.exists(manifest_path):
+        os.unlink(manifest_path)
     return final_vcf
 
 
-def _run_chromosome_shard(args) -> Optional[str]:
+def _run_chromosome_shard(args):
     options, bam_path, genome_dir, chrom_name, use_device, out_path = args
     from pisces_tpu.apps.pisces import process_bam
     from pisces_tpu.io.fasta import Genome
     options.chromosome_filter = chrom_name
     genome = Genome(genome_dir)
-    return process_bam(options, bam_path, genome, out_vcf=out_path,
-                       use_device=use_device)
+    tmp_path = out_path + ".tmp"
+    process_bam(options, bam_path, genome, out_vcf=tmp_path,
+                use_device=use_device)
+    os.replace(tmp_path, out_path)
+    return chrom_name, out_path

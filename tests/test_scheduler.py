@@ -86,3 +86,41 @@ def test_parallel_matches_serial(tmp_path, max_threads):
     serial_lines = [l for l in open(serial_out) if not l.startswith("##")]
     par_lines = [l for l in open(par_outs[0]) if not l.startswith("##")]
     assert serial_lines == par_lines
+
+
+def test_multiprocess_shards_and_resume(tmp_path):
+    """MultiProcess path: per-chr shard workers, atomic shard rename, merge;
+    resume=True skips chromosomes whose completed shard exists (SURVEY.md §5
+    checkpoint/resume: shard-granularity restart)."""
+    from pisces_tpu.apps.pisces import process_bam
+    from pisces_tpu.parallel.scheduler import process_chromosomes_multiprocess
+
+    bam = os.path.join(conftest.REFERENCE_ROOT,
+                       "src/test/Pisces.Tests/TestData/Sample_S1.bam")
+    genome_dir = conftest.shared_genome("chr19")
+
+    def make_options(outdir):
+        o = PiscesApplicationOptions()
+        o.output_directory = str(outdir)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        return o
+
+    serial_dir = tmp_path / "serial"
+    serial_dir.mkdir()
+    serial_out = process_bam(make_options(serial_dir), bam,
+                             Genome(genome_dir), use_device=False)
+    mp_dir = tmp_path / "mp"
+    mp_dir.mkdir()
+    out = process_chromosomes_multiprocess(make_options(mp_dir), bam,
+                                           genome_dir, 2, False)
+    serial_lines = [l for l in open(serial_out) if not l.startswith("##")]
+    mp_lines = [l for l in open(out) if not l.startswith("##")]
+    assert serial_lines == mp_lines
+    assert not os.path.exists(mp_dir / "Sample_S1.progress.json")
+
+    # a pre-existing completed shard is trusted verbatim under resume=True
+    shard = mp_dir / "Sample_S1.vcf_chr19"
+    shard.write_text("#CHROM\nchr19\t1\t.\tA\tC\t.\tPASS\tSENTINEL\n")
+    out2 = process_chromosomes_multiprocess(make_options(mp_dir), bam,
+                                            genome_dir, 2, False, resume=True)
+    assert "SENTINEL" in open(out2).read()
