@@ -99,21 +99,59 @@ class BamHeader:
 
 
 class BamReader:
-    """Whole-file BAM reader with per-chromosome columnar extraction."""
+    """Whole-file BAM reader with per-chromosome columnar extraction.
 
-    def __init__(self, path: str):
+    With lazy=True and a sibling .bai, fetch_region() inflates only the BGZF
+    blocks the index maps to the query (the reference's BamReader.Jump,
+    Alignment.IO/BamReader.cs:22-677)."""
+
+    def __init__(self, path: str, lazy: bool = False):
         self.path = path
         with open(path, "rb") as f:
             raw = f.read()
-        self._data = bgzf.decompress(raw)
-        if self._data[:4] != b"BAM\x01":
-            raise ValueError(f"{path} is not a BAM file")
-        self.header, self._records_start = self._parse_header()
+        self._raw: Optional[bytes] = raw if lazy else None
+        self._bai = None
+        if lazy:
+            self._data = b""
+            buf = bytearray()
+            for _, _, chunk in bgzf.iter_blocks(raw):
+                buf.extend(chunk)
+                try:
+                    self._data = bytes(buf)
+                    self.header, self._records_start = self._parse_header()
+                    break
+                except (struct.error, ValueError, IndexError):
+                    continue
+            else:
+                raise ValueError(f"{path}: could not parse BAM header")
+        else:
+            self._data = bgzf.decompress(raw)
+            self.header, self._records_start = self._parse_header()
         self._record_offsets: Optional[np.ndarray] = None
+
+    def _materialize(self) -> None:
+        """Inflate the whole file (exit from lazy mode)."""
+        if self._raw is not None:
+            self._data = bgzf.decompress(self._raw)
+            self._raw = None
+            self._record_offsets = None
+
+    def index(self):
+        """The .bai sibling index, or None."""
+        if self._bai is None:
+            import os
+            from pisces_tpu.io import bai
+            p = self.path + ".bai"
+            self._bai = bai.read_bai(p) if os.path.exists(p) else False
+        return self._bai or None
 
     def _parse_header(self) -> Tuple[BamHeader, int]:
         d = self._data
+        if d[:4] != b"BAM\x01":
+            raise ValueError(f"{self.path} is not a BAM file")
         l_text = struct.unpack_from("<i", d, 4)[0]
+        if len(d) < 8 + l_text + 4:
+            raise ValueError("truncated header")
         text = d[8:8 + l_text].rstrip(b"\x00").decode("utf-8", errors="replace")
         off = 8 + l_text
         n_ref = struct.unpack_from("<i", d, off)[0]
@@ -121,6 +159,8 @@ class BamReader:
         names, lengths = [], []
         for _ in range(n_ref):
             l_name = struct.unpack_from("<i", d, off)[0]
+            if len(d) < off + 8 + l_name:
+                raise ValueError("truncated header refs")
             names.append(d[off + 4: off + 4 + l_name - 1].decode())
             lengths.append(struct.unpack_from("<i", d, off + 4 + l_name)[0])
             off += 8 + l_name
@@ -129,6 +169,7 @@ class BamReader:
     def _scan_record_offsets(self) -> np.ndarray:
         if self._record_offsets is not None:
             return self._record_offsets
+        self._materialize()
         d = self._data
         offsets = []
         off = self._records_start
@@ -177,8 +218,8 @@ class BamReader:
     def fetch(self, ref_id: Optional[int] = None,
               parse_tags: bool = False) -> ReadBatch:
         """Decode records (optionally only those mapped to ref_id) into a batch."""
-        d = self._data
         offsets = self._scan_record_offsets()
+        d = self._data
         n_total = len(offsets) - 1
 
         ref_ids = np.empty(n_total, dtype=np.int32)
@@ -200,8 +241,15 @@ class BamReader:
             keep[i] = (ref_id is None) or (rid == ref_id)
 
         idx = np.nonzero(keep)[0]
-        m = len(idx)
+        return self._decode_selected(d, offsets[:-1], ref_ids, poss, mapqs,
+                                     flags, idx, parse_tags)
 
+    def _decode_selected(self, d, offsets, ref_ids, poss, mapqs, flags, idx,
+                         parse_tags: bool) -> ReadBatch:
+        m = len(idx)
+        xd_tags: Optional[list]
+        xn_tags: Optional[list]
+        extra_tags: Optional[list]
         cigar_off = np.zeros(m + 1, dtype=np.int64)
         seq_off = np.zeros(m + 1, dtype=np.int64)
         cigar_ops_l: List[np.ndarray] = []
@@ -266,6 +314,110 @@ class BamReader:
             xn_tags=xn_tags,
             extra_tags=extra_tags,
         )
+
+    def fetch_region(self, ref_id: int, beg0: int, end0: int,
+                     parse_tags: bool = False) -> ReadBatch:
+        """Reads overlapping [beg0, end0) (0-based half-open). With a lazy
+        reader and a .bai present, only the indexed BGZF chunks are inflated
+        (BamReader.Jump analog); otherwise decodes the chromosome and masks."""
+        idx = self.index()
+        if self._raw is None or idx is None:
+            batch = self.fetch(ref_id, parse_tags)
+            mask = (batch.pos < end0) & (batch.end_pos >= beg0)
+            return subset_batch(batch, mask)
+
+        raw = self._raw
+        offsets: List[int] = []
+        ref_ids_l: List[int] = []
+        poss_l: List[int] = []
+        mapqs_l: List[int] = []
+        flags_l: List[int] = []
+        bufs: List[bytes] = []
+        buf_base = 0
+        for c_beg, c_end in idx.query(ref_id, beg0, end0):
+            blocks = bgzf.iter_blocks(raw, c_beg >> 16)
+            buf = bytearray()
+            block_fo: List[int] = []   # file offset per inflated block
+            block_u: List[int] = []    # inflated start of each block in buf
+
+            def pull() -> bool:
+                try:
+                    fo, _, chunk = next(blocks)
+                except StopIteration:
+                    return False
+                block_fo.append(fo)
+                block_u.append(len(buf))
+                buf.extend(chunk)
+                return True
+
+            if not pull():
+                continue
+            p = c_beg & 0xFFFF
+            while True:
+                # virtual offset of the record that starts at p
+                bi = np.searchsorted(block_u, p, side="right") - 1
+                voff = (block_fo[bi] << 16) | (p - block_u[bi])
+                if voff >= c_end:
+                    break
+                while len(buf) < p + 36 and pull():
+                    pass
+                if len(buf) < p + 36:
+                    break
+                block_size = int.from_bytes(buf[p:p + 4], "little", signed=True)
+                while len(buf) < p + 4 + block_size and pull():
+                    pass
+                if len(buf) < p + 4 + block_size:
+                    break
+                rid, pos = struct.unpack_from("<ii", buf, p + 4)
+                if rid == ref_id and pos < end0:
+                    offsets.append(buf_base + p)
+                    ref_ids_l.append(rid)
+                    poss_l.append(pos)
+                    mapqs_l.append(buf[p + 13])
+                    flags_l.append(struct.unpack_from("<H", buf, p + 18)[0])
+                p += 4 + block_size
+            bufs.append(bytes(buf))
+            buf_base += len(buf)
+
+        d = b"".join(bufs)
+        m = len(offsets)
+        batch = self._decode_selected(
+            d, np.asarray(offsets, dtype=np.int64),
+            np.asarray(ref_ids_l, dtype=np.int32),
+            np.asarray(poss_l, dtype=np.int32),
+            np.asarray(mapqs_l, dtype=np.uint8),
+            np.asarray(flags_l, dtype=np.uint16),
+            np.arange(m), parse_tags)
+        return subset_batch(batch, batch.end_pos >= beg0)
+
+
+def subset_batch(batch: ReadBatch, mask: np.ndarray) -> ReadBatch:
+    """New ReadBatch containing only reads where mask is True (re-packs the
+    ragged cigar/seq/qual arrays)."""
+    idx = np.nonzero(mask)[0]
+    clens = (batch.cigar_off[1:] - batch.cigar_off[:-1])[idx]
+    slens = (batch.seq_off[1:] - batch.seq_off[:-1])[idx]
+    cigar_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(clens, out=cigar_off[1:])
+    seq_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(slens, out=seq_off[1:])
+    ctake = np.concatenate([np.arange(batch.cigar_off[i], batch.cigar_off[i + 1])
+                            for i in idx]) if len(idx) else np.empty(0, np.int64)
+    stake = np.concatenate([np.arange(batch.seq_off[i], batch.seq_off[i + 1])
+                            for i in idx]) if len(idx) else np.empty(0, np.int64)
+    return ReadBatch(
+        n=len(idx),
+        ref_id=batch.ref_id[idx], pos=batch.pos[idx], mapq=batch.mapq[idx],
+        flag=batch.flag[idx], cigar_off=cigar_off,
+        cigar_ops=batch.cigar_ops[ctake],
+        cigar_lens=batch.cigar_lens[ctake],
+        seq_off=seq_off, seq=batch.seq[stake], qual=batch.qual[stake],
+        end_pos=batch.end_pos[idx],
+        xd_tags=None if batch.xd_tags is None else [batch.xd_tags[i] for i in idx],
+        xn_tags=None if batch.xn_tags is None else [batch.xn_tags[i] for i in idx],
+        extra_tags=(None if batch.extra_tags is None
+                    else [batch.extra_tags[i] for i in idx]),
+    )
 
 
 def filter_batch(batch: ReadBatch, min_map_quality: int = 1,

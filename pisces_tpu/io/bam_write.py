@@ -48,13 +48,19 @@ class BamRecord:
         self.tlen = tlen
         self.tags = tags or {}
 
+    def ref_end0(self) -> int:
+        """0-based exclusive reference end (M/D/N/=/X consume reference)."""
+        span = sum(ln for op, ln in self.cigar if op in (0, 2, 3, 7, 8))
+        return self.pos0 + max(span, 1)
+
     def encode(self) -> bytes:
+        from pisces_tpu.io.bai import reg2bin
         name_b = self.name.encode() + b"\x00"
         n_cigar = len(self.cigar)
         l_seq = len(self.seq)
-        # bin: use 0 (readers we care about ignore it; samtools recomputes)
+        rec_bin = reg2bin(self.pos0, self.ref_end0()) if self.ref_id >= 0 else 0
         body = struct.pack("<iiBBHHHiiii", self.ref_id, self.pos0,
-                           len(name_b), self.mapq, 0, n_cigar, self.flag,
+                           len(name_b), self.mapq, rec_bin, n_cigar, self.flag,
                            l_seq, self.next_ref_id, self.next_pos, self.tlen)
         body += name_b
         for op, ln in self.cigar:
@@ -108,10 +114,27 @@ class BamWriter:
             out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
         return out
 
-    def write(self, sort: bool = True) -> str:
+    def write(self, sort: bool = True, index: bool = False) -> str:
+        """Write the BAM (coordinate-sorted by default). With index=True a
+        sibling .bai is built from record virtual offsets while writing
+        (reference BamWriter + BamIndex.CreateIndexFromBamFile analog)."""
         if sort:
             self.records.sort(key=lambda r: (r.ref_id, r.pos0))
-        payload = self.header_bytes() + b"".join(r.encode() for r in self.records)
+        builder = None
+        if index:
+            from pisces_tpu.io.bai import BaiBuilder, write_bai
+            builder = BaiBuilder(len(self.ref_names))
         with open(self.path, "wb") as f:
-            f.write(bgzf.compress(payload))
+            w = bgzf.BgzfWriter(f)
+            w.write(self.header_bytes())
+            for r in self.records:
+                v0 = w.tell_virtual()
+                w.write(r.encode())
+                if builder is not None:
+                    builder.add(r.ref_id, r.pos0, r.ref_end0(),
+                                v0, w.tell_virtual(),
+                                mapped=not (r.flag & 0x4))
+            w.close()
+        if builder is not None:
+            write_bai(builder.build(), self.path + ".bai")
         return self.path

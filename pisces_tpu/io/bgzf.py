@@ -15,9 +15,11 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
-def iter_blocks(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
-    """Yield (file_offset, block_length, inflated_bytes) per BGZF block."""
-    off = 0
+def iter_blocks(data: bytes, start: int = 0) -> Iterator[Tuple[int, int, bytes]]:
+    """Yield (file_offset, block_length, inflated_bytes) per BGZF block,
+    optionally starting at a block boundary `start` (e.g. from a .bai
+    virtual offset's coffset)."""
+    off = start
     n = len(data)
     while off < n:
         if data[off:off + 2] != b"\x1f\x8b":
@@ -59,6 +61,47 @@ def decompress_with_index(data: bytes):
         chunks.append(inflated)
         upos += len(inflated)
     return b"".join(chunks), file_offsets, u_offsets
+
+
+class BgzfWriter:
+    """Streaming BGZF deflater exposing virtual offsets
+    ((block file offset << 16) | offset within block) so callers can build
+    a .bai while writing (the BamWriter+BamIndex coupling of the
+    reference's Alignment.IO)."""
+
+    def __init__(self, fileobj, level: int = 6):
+        self._f = fileobj
+        self._level = level
+        self._buf = bytearray()
+        self._file_off = 0
+
+    def tell_virtual(self) -> int:
+        return (self._file_off << 16) | len(self._buf)
+
+    def _flush_block(self, chunk: bytes) -> None:
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 26
+        block = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                 + struct.pack("<H", 6) + b"BC"
+                 + struct.pack("<HH", 2, bsize - 1)
+                 + cdata
+                 + struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        self._f.write(block)
+        self._file_off += len(block)
+
+    def write(self, data: bytes) -> None:
+        self._buf.extend(data)
+        while len(self._buf) >= 0xFF00:
+            self._flush_block(bytes(self._buf[:0xFF00]))
+            del self._buf[:0xFF00]
+
+    def close(self) -> None:
+        if self._buf:
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._f.write(BGZF_EOF)
+        self._file_off += len(BGZF_EOF)
 
 
 def compress(data: bytes, level: int = 6) -> bytes:

@@ -169,8 +169,6 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
             continue
         rid = reader.header.ref_index(chrom_name)
         batch = reader.fetch(rid)
-        chrom_names = [names[j] for j in np.nonzero(
-            np.array([True] * reader.n_records))[0]] if False else None
         batch_names = _names_for_batch(reader, rid, names)
         refseq = genome.get_chr_reference(chrom_name).sequence
         records, stats = process_chromosome(chrom_name, refseq, batch, options,
@@ -179,7 +177,8 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
             total_stats[k] += v
         for r in records:
             writer.add(r)
-    writer.write(sort=True)
+    writer.write(sort=True, index=True)  # sorted + .bai (samtools sort/index
+    # merge step of the reference GeminiWorkflow.cs:62-101, done natively)
     log(f"gemini: {dict(total_stats)} -> {out_path}")
     return out_path
 
