@@ -1,0 +1,131 @@
+"""Multi-host execution (SURVEY §2.5 P4/P9 TPU mapping).
+
+The reference scales past one machine by spawning `Pisces -InsideSubProcess
+-chrFilter chrN` children and merging per-chr VCF shards (Program.cs:46-48,
+GenomeProcessor.CombinePerChromosomeFiles). The TPU-native analog: one JAX
+process per TPU host, joined via jax.distributed.initialize; chromosomes are
+deterministically partitioned across hosts; each host writes atomic per-chr
+shards to the shared output directory; host 0 merges when every shard
+exists. Device collectives (psum/all_gather over the global mesh) remain
+available for cross-host statistics (VQR signature counts, AdaptiveGT EM).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+from pisces_tpu.utils import logger
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> tuple:
+    """Join the jax.distributed job. Returns (process_id, num_processes).
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
+    arguments are omitted; a no-op single-process setup otherwise."""
+    import jax
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return 0, 1
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def host_chromosome_assignment(chrom_lengths: Sequence[tuple],
+                               n_hosts: int) -> List[List[str]]:
+    """Longest-processing-time partition of chromosomes over hosts: sort by
+    length descending, place each on the least-loaded host. Deterministic on
+    every host (same inputs -> same plan), balanced by base count (the
+    reference's per-chr job queue achieves balance dynamically; a static
+    plan avoids cross-host coordination)."""
+    order = sorted(chrom_lengths, key=lambda cl: (-cl[1], cl[0]))
+    loads = [0] * n_hosts
+    plan: List[List[str]] = [[] for _ in range(n_hosts)]
+    for name, length in order:
+        h = min(range(n_hosts), key=lambda i: (loads[i], i))
+        plan[h].append(name)
+        loads[h] += length
+    return plan
+
+
+def wait_and_merge_shards(final_vcf: str, shard_of: Dict[str, str],
+                          chrom_order: Sequence[str],
+                          timeout_s: float = 24 * 3600.0,
+                          poll_s: float = 2.0) -> str:
+    """Host 0's merge barrier: wait until every chromosome shard exists
+    (shards are written atomically via tmp+rename, so existence == done),
+    then concatenate data lines after the first shard's header in genome
+    order. The filesystem is the coordination channel, exactly like the
+    reference's CombinePerChromosomeFiles (GenomeProcessor.cs:156-186)."""
+    deadline = time.monotonic() + timeout_s
+    missing = [c for c in chrom_order if not os.path.exists(shard_of[c])]
+    while missing:
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"shards never appeared: {missing}")
+        time.sleep(poll_s)
+        missing = [c for c in chrom_order if not os.path.exists(shard_of[c])]
+    with open(final_vcf, "w", newline="\n") as out:
+        wrote_header = False
+        for c in chrom_order:
+            with open(shard_of[c]) as f:
+                for line in f:
+                    if line.startswith("#"):
+                        if not wrote_header:
+                            out.write(line)
+                    else:
+                        out.write(line)
+            wrote_header = True
+    for c in chrom_order:
+        os.unlink(shard_of[c])
+    return final_vcf
+
+
+def process_bam_multihost(options, bam_path: str, genome_dir: str,
+                          use_device: bool = False,
+                          coordinator_address: Optional[str] = None,
+                          num_processes: Optional[int] = None,
+                          process_id: Optional[int] = None) -> Optional[str]:
+    """Run this host's share of chromosomes; host 0 merges and returns the
+    final VCF path, other hosts return None."""
+    from pisces_tpu.apps.pisces import process_bam
+    from pisces_tpu.io.fasta import Genome
+
+    pid, n_hosts = init_distributed(coordinator_address, num_processes,
+                                    process_id)
+    genome = Genome(genome_dir)
+    chrom_lengths = genome.chromosome_lengths
+    plan = host_chromosome_assignment(chrom_lengths, n_hosts)
+    mine = plan[pid]
+    logger.log(f"host {pid}/{n_hosts}: assigned {len(mine)} chromosomes "
+               f"({','.join(mine[:8])}{'...' if len(mine) > 8 else ''})")
+
+    out_dir = options.output_directory or os.path.dirname(bam_path)
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.basename(bam_path)
+    stem = stem[:-4] if stem.endswith(".bam") else stem
+    gvcf = options.vcf_writing_parameters.output_gvcf_file
+    final_vcf = os.path.join(out_dir,
+                             stem + (".genome.vcf" if gvcf else ".vcf"))
+    shard_of = {c: os.path.join(out_dir, f"{stem}.vcf_{c}")
+                for c, _l in chrom_lengths}
+
+    for chrom in mine:
+        tmp = shard_of[chrom] + f".tmp{pid}"
+        options.chromosome_filter = chrom
+        process_bam(options, bam_path, genome, out_vcf=tmp,
+                    use_device=use_device)
+        os.replace(tmp, shard_of[chrom])
+
+    if pid != 0:
+        return None
+    return wait_and_merge_shards(final_vcf, shard_of,
+                                 [c for c, _l in chrom_lengths])

@@ -124,3 +124,47 @@ def test_multiprocess_shards_and_resume(tmp_path):
     out2 = process_chromosomes_multiprocess(make_options(mp_dir), bam,
                                             genome_dir, 2, False, resume=True)
     assert "SENTINEL" in open(out2).read()
+
+
+class TestMultihost:
+    def test_assignment_balanced_and_deterministic(self):
+        from pisces_tpu.parallel.multihost import host_chromosome_assignment
+        chroms = [(f"chr{i}", (23 - i) * 10_000_000) for i in range(1, 23)]
+        plan1 = host_chromosome_assignment(chroms, 4)
+        plan2 = host_chromosome_assignment(list(reversed(chroms)), 4)
+        assert plan1 == plan2  # order-independent determinism
+        assert sorted(c for h in plan1 for c in h) == sorted(c for c, _ in chroms)
+        loads = [sum(dict(chroms)[c] for c in h) for h in plan1]
+        assert max(loads) <= min(loads) * 1.35  # LPT balance
+
+    def test_wait_and_merge_shards(self, tmp_path):
+        import threading
+        import time as _time
+        from pisces_tpu.parallel.multihost import wait_and_merge_shards
+        shard_of = {c: str(tmp_path / f"s.vcf_{c}") for c in ["c1", "c2", "c3"]}
+
+        def late_writer():
+            _time.sleep(0.15)
+            for c in ["c3", "c1", "c2"]:  # out of order, like remote hosts
+                with open(shard_of[c] + ".tmp", "w") as f:
+                    f.write(f"##hdr\n#CHROM\n{c}\t1\t.\tA\tC\t.\tPASS\t.\n")
+                os.replace(shard_of[c] + ".tmp", shard_of[c])
+
+        t = threading.Thread(target=late_writer)
+        t.start()
+        out = wait_and_merge_shards(str(tmp_path / "final.vcf"), shard_of,
+                                    ["c1", "c2", "c3"], timeout_s=10,
+                                    poll_s=0.05)
+        t.join()
+        lines = open(out).read().splitlines()
+        assert lines[0] == "##hdr"
+        data = [l.split("\t")[0] for l in lines if not l.startswith("#")]
+        assert data == ["c1", "c2", "c3"]  # genome order despite arrival order
+        assert not any(os.path.exists(p) for p in shard_of.values())
+
+    def test_wait_times_out(self, tmp_path):
+        from pisces_tpu.parallel.multihost import wait_and_merge_shards
+        with pytest.raises(TimeoutError):
+            wait_and_merge_shards(str(tmp_path / "f.vcf"),
+                                  {"c1": str(tmp_path / "never")}, ["c1"],
+                                  timeout_s=0.2, poll_s=0.05)
