@@ -44,6 +44,9 @@ class GeminiOptions:
     stitch_pairs: bool = True
     realign: bool = True
     max_indel_size: int = 50
+    classify: bool = True            # PairClassification-driven treatment
+    trust_softclips: bool = False
+    classifier_min_mapq: int = 10    # ReadPairClassifierAndExtractor default
 
 
 def collect_indel_targets(chrom_name: str, refseq: np.ndarray,
@@ -88,9 +91,36 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         if options.realign else []
     stats["indel_targets"] = len(targets)
 
+    # pair classification decides each read's treatment
+    cls_map = None
+    if options.classify and read_names is not None and batch.n:
+        from pisces_tpu.domain.types import BASE_TO_ALLELE
+        from pisces_tpu.preprocessing.classify import (
+            PASSTHROUGH_CLASSES, REALIGN_CLASSES, STITCH_CLASSES,
+            classify_batch,
+        )
+        ref_codes = BASE_TO_ALLELE[refseq]
+        cls_map = classify_batch(batch, ref_codes, read_names,
+                                 options.classifier_min_mapq,
+                                 options.trust_softclips)
+        for cls in cls_map.values():
+            stats[f"cls_{cls.name}"] += 1
+
+    def _realignable(i: int) -> bool:
+        if cls_map is None:
+            return True
+        return cls_map[i] in REALIGN_CLASSES
+
+    def _stitchable(i: int) -> bool:
+        if cls_map is None:
+            return True
+        return cls_map[i] in STITCH_CLASSES
+
     realigned: Dict[int, Tuple[int, list]] = {}
     if targets:
         for i in np.nonzero(keep)[0]:
+            if not _realignable(int(i)):
+                continue
             pos1, cigar, seq, quals = _read_tuple(batch, i)
             res = realign_read(pos1, cigar, seq, refseq, targets,
                                options.max_indel_size)
@@ -103,7 +133,7 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
     by_name: Dict[str, List[int]] = defaultdict(list)
     if options.stitch_pairs and read_names is not None:
         for i in np.nonzero(keep)[0]:
-            if batch.flag[i] & FLAG_PAIRED:
+            if (batch.flag[i] & FLAG_PAIRED) and _stitchable(int(i)):
                 by_name[read_names[i]].append(int(i))
 
     stitched_members = set()

@@ -112,9 +112,9 @@ class TestGeminiPipeline:
         bam_path = str(tmp_path / "in.bam")
         w = BamWriter(bam_path, ["chr1"], [len(REF)])
         # overlapping mate pair: R1 1-20, R2 11-30
-        w.add_read("pair1", "chr1", 1, "20M", REF[0:20], flag=0x1 | 0x40)
+        w.add_read("pair1", "chr1", 1, "20M", REF[0:20], flag=0x1 | 0x2 | 0x40)
         w.add_read("pair1", "chr1", 11, "20M", REF[10:30],
-                   flag=0x1 | 0x80 | 0x10)
+                   flag=0x1 | 0x2 | 0x80 | 0x10)
         w.write()
         out = run_gemini(bam_path, gdir, str(tmp_path / "out.bam"),
                          GeminiOptions(realign=False))
