@@ -33,7 +33,7 @@ from pisces_tpu.utils.logger import log
 
 def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
                     bam: BamReader, intervals=None, use_device: bool = True,
-                    forced_alleles=None):
+                    forced_alleles=None, priors=None):
     """Run the full calling pipeline for one chromosome; returns the list of
     called alleles in genome order (the per-chromosome unit of P1 parallelism)."""
     cfg = CallerConfig.from_options(options)
@@ -151,8 +151,9 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
 
     collapser = None
     if options.collapse:
+        known = priors.get(chrom.name) if priors else None
         collapser = VariantCollapser(
-            None, options.exclude_mnvs_from_collapsing,
+            known, options.exclude_mnvs_from_collapsing,
             cfg.consider_anchor_information,
             options.collapse_freq_threshold, options.collapse_freq_ratio_threshold)
 
@@ -264,6 +265,34 @@ def load_forced_alleles(paths: List[str]) -> set:
     return out
 
 
+def load_priors(path: str, trim_mnv: bool = False):
+    """Load known collapsable variants (-PriorsPath) into per-chromosome
+    Candidate lists for the collapser (Factory.cs priors + TrimMnvPriors:
+    strip the shared leading reference base of padded MNV priors)."""
+    from pisces_tpu.io.vcf_read import read_header_and_variants
+    from pisces_tpu.pileup.candidates import Candidate
+
+    by_chrom: Dict[str, list] = {}
+    _hdr, variants = read_header_and_variants(path)
+    for v in variants:
+        for alt in v.alt_allele.split(","):
+            if alt in (".", "<M>", "*"):
+                continue
+            pos, ref, a = v.position, v.ref_allele, alt
+            if trim_mnv and len(ref) > 1 and len(a) > 1 and ref[0] == a[0]:
+                pos, ref, a = pos + 1, ref[1:], a[1:]
+            if len(ref) == len(a):
+                cat = (AlleleCategory.SNV if len(ref) == 1
+                       else AlleleCategory.MNV)
+            elif len(ref) > len(a):
+                cat = AlleleCategory.DELETION
+            else:
+                cat = AlleleCategory.INSERTION
+            by_chrom.setdefault(v.chrom, []).append(
+                Candidate(v.chrom, pos, ref, a, cat))
+    return by_chrom
+
+
 def process_bam(options: PiscesApplicationOptions, bam_path: str,
                 genome: Genome, out_vcf: Optional[str] = None,
                 use_device: bool = True) -> str:
@@ -282,6 +311,8 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
 
     forced_alleles = (load_forced_alleles(options.forced_alleles_paths)
                       if options.forced_alleles_paths else None)
+    priors = (load_priors(options.priors_path, options.trim_mnv_priors)
+              if options.priors_path else None)
 
     wcfg = VcfWriterConfig(options, has_forced_gt=bool(forced_alleles))
     sample = os.path.basename(bam_path).split(".")[0]
@@ -310,7 +341,7 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             intervals = _load_intervals(options, chrom_name)
             t0 = time.time()
             result = call_chromosome(options, chrom, bam, intervals,
-                                     use_device, forced_alleles)
+                                     use_device, forced_alleles, priors)
             if isinstance(result, tuple):
                 alleles, ref_lines = result
                 write_spliced(writer, alleles, ref_lines)
@@ -342,86 +373,30 @@ def _load_intervals(options: PiscesApplicationOptions, chrom_name: str):
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser(prog="pisces-tpu",
-                                description="TPU-native somatic variant caller")
-    p.add_argument("-bam", "--bam", required=True)
-    p.add_argument("-g", "--genome", required=True)
-    p.add_argument("-i", "--intervals", default=None)
-    p.add_argument("-o", "--out", default=None, help="output folder")
-    p.add_argument("-gVCF", "--gvcf", default="true")
-    p.add_argument("-CallMNVs", default="false")
-    p.add_argument("-MinimumFrequency", "-minvf", type=float, default=0.01)
-    p.add_argument("-MinBaseCallQuality", "-minbq", type=int, default=20)
-    p.add_argument("-MinMapQuality", "-minmq", type=int, default=1)
-    p.add_argument("-MinVariantQScore", "-minvq", type=int, default=20)
-    p.add_argument("-VariantQualityFilter", type=int, default=30)
-    p.add_argument("-MinDepth", "-mindp", type=int, default=10)
-    p.add_argument("-ploidy", default="somatic")
-    p.add_argument("-RMxNFilter", default="5,9,0.35")
-    p.add_argument("-backend", default="numpy", choices=["jax", "numpy"],
-               help="per-locus scoring backend; jax moves the fused kernel to the accelerator (best with locally-attached TPUs; tunneled devices are readback-bound)")
-    p.add_argument("-MaxNumThreads", "-t", type=int, default=1)
-    p.add_argument("-MultiProcess", default="false")
-    p.add_argument("-Resume", default="false", help="with -MultiProcess: "
-                   "skip chromosomes whose output shard already exists")
-    p.add_argument("-ForcedAlleles", default=None)
-    p.add_argument("-OutputBiasFiles", default="false")
-    p.add_argument("-CollapseVariants", "-Collapse", dest="Collapse",
-                   default="true")
-    args = p.parse_args(argv)
-
-    options = PiscesApplicationOptions()
-    options.bam_paths = [args.bam]
-    options.genome_paths = [args.genome]
-    options.output_directory = args.out
-    options.command_line = " ".join(argv if argv is not None else sys.argv[1:])
-    options.vcf_writing_parameters.output_gvcf_file = args.gvcf.lower() == "true"
-    options.call_mnvs = args.CallMNVs.lower() == "true"
-    v = options.variant_calling_parameters
-    v.minimum_frequency = args.MinimumFrequency
-    v.minimum_variant_qscore = args.MinVariantQScore
-    v.minimum_variant_qscore_filter = args.VariantQualityFilter
-    v.minimum_coverage = args.MinDepth
-    options.bam_filter_parameters.minimum_base_call_quality = args.MinBaseCallQuality
-    options.bam_filter_parameters.minimum_map_quality = args.MinMapQuality
-    if args.ploidy.lower() == "diploid":
-        from pisces_tpu.domain.types import PloidyModel
-        v.ploidy_model = PloidyModel.DIPLOID_BY_THRESHOLDING
-    if args.RMxNFilter.lower() == "false":
-        v.rmxn_filter_max_length_repeat = None
-        v.rmxn_filter_min_repetitions = None
-    elif args.RMxNFilter:
-        parts = args.RMxNFilter.split(",")
-        v.rmxn_filter_max_length_repeat = int(parts[0])
-        v.rmxn_filter_min_repetitions = int(parts[1])
-        if len(parts) > 2:
-            v.rmxn_filter_frequency_limit = float(parts[2])
-    if args.intervals:
-        options.interval_paths = [args.intervals]
-    if args.ForcedAlleles:
-        options.forced_alleles_paths = args.ForcedAlleles.split(",")
-    options.output_bias_files = args.OutputBiasFiles.lower() == "true"
-    options.collapse = args.Collapse.lower() == "true"
-    options.max_num_threads = args.MaxNumThreads
-
-    bam_paths = args.bam.split(",")
+    from pisces_tpu.apps._pisces_main import (
+        _b, _normalize, build_parser, options_from_args,
+    )
+    raw = list(argv if argv is not None else sys.argv[1:])
+    args = build_parser().parse_args(_normalize(raw))
+    options = options_from_args(args, raw)
+    bam_paths = options.bam_paths
     use_device = args.backend == "jax"
 
     def execute() -> int:
         genome = Genome(args.genome)
-        if args.MultiProcess.lower() == "true":
+        if _b(args.multiprocess) and not _b(args.insidesubprocess):
             from pisces_tpu.parallel.scheduler import (
                 process_chromosomes_multiprocess,
             )
             for bam_path in bam_paths:
                 out = process_chromosomes_multiprocess(
-                    options, bam_path, args.genome, args.MaxNumThreads,
-                    use_device, resume=args.Resume.lower() == "true")
+                    options, bam_path, args.genome, args.max_threads,
+                    use_device, resume=_b(args.resume))
                 log(f"wrote {out}")
-        elif args.MaxNumThreads > 1 or len(bam_paths) > 1:
+        elif args.max_threads > 1 or len(bam_paths) > 1:
             from pisces_tpu.parallel.scheduler import process_bams_parallel
             outs = process_bams_parallel(options, bam_paths, genome,
-                                         args.MaxNumThreads, use_device)
+                                         args.max_threads, use_device)
             for out in outs:
                 log(f"wrote {out}")
         else:
@@ -432,7 +407,8 @@ def main(argv=None) -> int:
 
     from pisces_tpu.utils.app import run_application
     log_dir = args.out or os.path.dirname(os.path.abspath(bam_paths[0]))
-    return run_application("Pisces", execute, options, log_dir)
+    return run_application(args.baselogname or "Pisces", execute, options,
+                           log_dir)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,8 @@ class PiscesApplicationOptions:
     chromosome_filter: Optional[str] = None
     coverage_method: CoverageMethod = CoverageMethod.APPROXIMATE
     debug_mode: bool = False
+    priors_path: Optional[str] = None       # vcf of known variants to force
+    trim_mnv_priors: bool = False
 
     bam_filter_parameters: BamFilterParameters = field(default_factory=BamFilterParameters)
     variant_calling_parameters: VariantCallingParameters = field(
