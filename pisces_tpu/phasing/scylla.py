@@ -107,7 +107,9 @@ def build_neighborhoods(alleles_stream, criteria: PhasableVariantCriteria
                            allele.alt_allele, allele.chromosome, allele,
                            is_passing=len(allele.filters) == 0)
         if not eligible(allele):
-            last_site = site
+            # reference/filtered rows never become the chain cursor
+            # (NeighborhoodBuilder.cs:85-97: _lastVariantSite only advances
+            # on eligible variants, so gVCF ref rows don't break chains)
             continue
         if (last_site is not None and last_site.chrom == site.chrom
                 and abs(site.position - last_site.position) < criteria.phasing_distance
@@ -439,6 +441,7 @@ def _call_refs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
             if np.float32(new_ref.frequency) < np.float32(options.min_frequency):
                 new_ref.variant_qscore = 0
         new_ref.filters = []
+        new_ref.strand_bias_gatk = -100.0
         if new_ref.variant_qscore < options.min_variant_qscore_filter:
             new_ref.add_filter(FilterType.LOW_VARIANT_QSCORE)
         if new_ref.total_coverage < options.low_depth_filter:

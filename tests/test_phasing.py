@@ -197,3 +197,27 @@ class TestEndToEnd:
         # component SNVs replaced by ref calls
         assert not any("\tA\tT\t" in l for l in lines)
         assert not any("\tG\tC\t" in l for l in lines)
+
+
+def test_chr21_neighborhood_chaining_and_phasing(tmp_path):
+    """Functional regression on the reference's chr21_11085587 corpus: gVCF
+    reference rows must NOT break neighborhood chains (NeighborhoodBuilder
+    only advances its cursor on eligible variants), so the 36 proximal SNVs
+    form ONE neighborhood and phase into R-notation MNVs (no genome given,
+    like the reference's Scylla.Tests expected output)."""
+    import conftest
+    from pisces_tpu.phasing.scylla import run_scylla, ScyllaOptions
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    out = run_scylla(os.path.join(SD, "chr21_11085587_S1.genome.vcf"),
+                     os.path.join(SD, "chr21_11085587_S1.bam"),
+                     None, str(tmp_path), ScyllaOptions())
+    lines = [l.rstrip("\n").split("\t") for l in open(out)
+             if not l.startswith("#")]
+    mnvs = [l for l in lines if l[4] != "." and "R" in l[3]]
+    assert len(mnvs) >= 5          # multi-site phased alleles were built
+    # the CAT-bearing MNV that matches the shipped expected output
+    assert any("CRRRRRCAT" in l[3] for l in mnvs)
+    # scylla-written reference rows carry SB -100.0000 like the reference
+    refs = [l for l in lines if l[4] == "." and l[1] == "11085577"]
+    assert refs and refs[0][9].endswith(":-100.0000")
