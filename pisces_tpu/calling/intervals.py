@@ -48,6 +48,19 @@ class ChrIntervalSet:
         i = int(np.searchsorted(self._starts, position, side="right")) - 1
         return i >= 0 and position <= self._ends[i]
 
+    def expand_interval(self, lookup_position: int, new_start: int) -> bool:
+        """ExpandInterval (IntervalSet.cs:189-204): move the start of the
+        interval containing lookup_position left to new_start, so later
+        loci between new_start and the old start test as inside."""
+        for i, r in enumerate(self.regions):
+            if r.start > lookup_position:
+                return False
+            if r.start <= lookup_position <= r.end:
+                self.regions[i] = Region(new_start, r.end)
+                self._starts[i] = new_start
+                return True
+        return False
+
     def contains_mask(self, positions: np.ndarray) -> np.ndarray:
         if not self.regions:
             return np.zeros(len(positions), dtype=bool)

@@ -76,14 +76,16 @@ def read_header_and_variants(path: str) -> Tuple[List[str], Iterator[VcfVariant]
     header = []
     pos = 0
     for line in fh:
-        if line.startswith("#"):
+        # a UTF-8 BOM may precede the first header line; treat it as part
+        # of the header (the reference passes it through byte-for-byte)
+        if line.lstrip("﻿").startswith("#"):
             header.append(line.rstrip("\n"))
         else:
             fh.seek(0)
             break
     def gen():
         for line in fh:
-            if line.startswith("#"):
+            if line.lstrip("﻿").startswith("#"):
                 continue
             if line.strip():
                 yield parse_vcf_line(line)

@@ -50,9 +50,10 @@ class GeometricFilter:
                 end = v.position + len(v.ref_allele) - 1
                 for p in range(v.position + 1, end + 1):
                     if iset.contains(p):
-                        # grow interval to cover the spanning allele
-                        self._expansions.setdefault(first.chrom, []).append(
-                            Region(first.position, p))
+                        # grow the interval leftward to this locus so the
+                        # positions in between are kept too
+                        # (GeometricFilter.cs:118 ExpandInterval)
+                        iset.expand_interval(p, first.position)
                         return True
         return False
 

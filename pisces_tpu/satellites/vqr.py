@@ -229,22 +229,41 @@ def _parse_sample_fields(v: VcfVariant):
     return v.format.split(":"), v.sample.split(":")
 
 
-def _update_line(v: VcfVariant, rates: Dict[str, int], max_q: int,
-                 filter_q: int, subsample: bool) -> Optional[str]:
-    """UpdateVariantQScoreAndRefilter applied to one SNV line."""
-    cat = mutation_category(v.ref_allele, v.alt_allele, v.filters)
+def _format_allele_line(a) -> str:
+    """Serialize one CalledAllele the way the reference VcfFileWriter does
+    (recalibrated lines are round-tripped through CalledAllele, which
+    normalizes FORMAT to GT:GQ:AD:DP:VF:NL:SB and recomputes DP via
+    GetDepthCountInt / VF from support over coverage)."""
+    from pisces_tpu.domain.types import Genotype
+    from pisces_tpu.io.vcf_write import VcfFormatter, VcfWriterConfig
+    fmtr = VcfFormatter(VcfWriterConfig())
+    total_depth = fmtr.get_depth_count([a])
+    fmt, smp = fmtr.construct_format_and_sample([a], total_depth)
+    ref_s, alt_s = fmtr.uncrushed_ref_and_alt(a)
+    if a.genotype in (Genotype.HOMOZYGOUS_REF, Genotype.REF_LIKE_NOCALL,
+                      Genotype.REF_AND_NOCALL, Genotype.HEMIZYGOUS_NOCALL,
+                      Genotype.HEMIZYGOUS_REF):
+        alt_s = "."
+    return (f"{a.chromosome}\t{a.position}\t.\t{ref_s}\t{alt_s}\t"
+            f"{a.variant_qscore}\t{fmtr.map_filters([a])}\tDP={total_depth}\t"
+            f"{fmt}\t{smp}")
+
+
+def _update_allele(a, cat: str, rates: Dict[str, int], max_q: int,
+                   filter_q: int, subsample: bool) -> bool:
+    """UpdateVariantQScoreAndRefilter (QualityRecalibration.cs:197-245):
+    mutates the allele in place; subsampled depth/support feed the Poisson
+    q-score only. Returns True if an update was applied."""
+    from pisces_tpu.domain.types import FilterType
+
     if cat not in rates:
-        return None
-    gts = v.genotypes
-    try:
-        orig_q = int(float(v.quality))
-    except ValueError:
-        return None
-    if orig_q < 1:
-        return None
-    depth = float(gts.get("DP", v.info_fields.get("DP", "0")) or 0)
-    ad = gts.get("AD", "").split(",")
-    call_count = float(ad[1]) if len(ad) > 1 else 0.0
+        return False
+    if a.variant_qscore < 1:
+        # HaveInfoToUpdateQ false: no value change, but the line still
+        # counts as modified (re-serialized) in the reference
+        return True
+    depth = float(a.total_coverage)
+    call_count = float(a.allele_support)
 
     rate = rates[cat]
     denominator = float(stats.q_to_p(rate))
@@ -257,23 +276,33 @@ def _update_line(v: VcfVariant, rates: Dict[str, int], max_q: int,
 
     new_q = int(stats.assign_poisson_qscore(
         np.array([int(call_count)]), np.array([int(depth)]), rate,
-        min(orig_q, max_q))[0])
+        min(a.variant_qscore, max_q))[0])
 
-    fields = v.raw_line.split("\t")
-    fields[5] = str(new_q)
-    fmt_keys, smp_vals = _parse_sample_fields(v)
-    for i, k in enumerate(fmt_keys):
-        if k == "NL" and i < len(smp_vals):
-            smp_vals[i] = str(rate)
-        if k == "GQ" and i < len(smp_vals):
-            smp_vals[i] = str(new_q)
-    fields[9] = ":".join(smp_vals)
-    if new_q < filter_q:
-        q_tag = f"q{filter_q}"
-        existing = fields[6]
-        if q_tag not in existing.split(";"):
-            fields[6] = q_tag if existing in ("PASS", ".") else existing + ";" + q_tag
-    return "\t".join(fields)
+    a.variant_qscore = new_q
+    a.genotype_qscore = new_q
+    a.noise_level_applied = rate
+    if new_q < filter_q and FilterType.LOW_VARIANT_QSCORE not in a.filters:
+        a.add_filter(FilterType.LOW_VARIANT_QSCORE)
+    return True
+
+
+def _update_line(v: VcfVariant, basic_rates: Dict[str, int],
+                 edge_rates: Dict[str, int], edge_suspect: bool,
+                 max_q: int, filter_q: int) -> Optional[str]:
+    """Apply basic + edge recalibration to one SNV line; both updates
+    mutate the same CalledAllele before one re-serialization (the
+    reference applies both to `inAllele`, QualityRecalibration.cs:137-151)."""
+    from pisces_tpu.io.vcf_read import to_called_alleles
+
+    cat = mutation_category(v.ref_allele, v.alt_allele, v.filters)
+    alleles = to_called_alleles(v)
+    if len(alleles) != 1:
+        return None
+    a = alleles[0]
+    updated = _update_allele(a, cat, basic_rates, max_q, filter_q, False)
+    if edge_suspect:
+        updated |= _update_allele(a, cat, edge_rates, max_q, filter_q, True)
+    return _format_allele_line(a) if updated else None
 
 
 def recalibrate_vcf(vcf_path: str, out_dir: Optional[str] = None,
@@ -295,11 +324,39 @@ def recalibrate_vcf(vcf_path: str, out_dir: Optional[str] = None,
 
     basic_rates = get_phred_scaled_calibrated_rates(baseline_q, z_factor, basic) \
         if do_basic else {}
-    edge_rates = get_edge_risk_rates(baseline_q, align_warn_threshold, basic,
-                                     edge) if (do_basic and do_edge) else {}
+    # the edge update is gated on the category exceeding the z-threshold in
+    # the EDGE counts (AmpliconEdgeVariantsLookupTable, QualityRecalibration
+    # .cs:108,145) but applies the edge-risk rate (EdgeRiskLookupTable, :125)
+    edge_gate = get_phred_scaled_calibrated_rates(baseline_q, z_factor, edge) \
+        if do_edge else {}
+    edge_risk = get_edge_risk_rates(baseline_q, align_warn_threshold, basic,
+                                    edge) if (do_basic and do_edge) else {}
+    edge_rates = {c: edge_risk[c] for c in edge_gate if c in edge_risk}
 
     out_path = os.path.join(out_dir, stem + ".recal")
+    return _apply_recalibration(vcf_path, out_path, basic_rates, edge_rates,
+                                edge.suspects, max_q, filter_q,
+                                do_basic, do_edge)
 
+
+def recalibrate_with_counts(vcf_path: str, counts_path: str,
+                            out_dir: Optional[str] = None,
+                            z_factor: float = 2.0, max_q: int = 100,
+                            filter_q: int = 30, baseline_q: int = 20) -> str:
+    """QualityRecalibration.Recalibrate with a precomputed .counts file
+    (QualityRecalibration.cs:26-56 + CountsFileReader)."""
+    out_dir = out_dir or os.path.dirname(vcf_path)
+    os.makedirs(out_dir, exist_ok=True)
+    counts = read_counts_file(counts_path)
+    rates = get_phred_scaled_calibrated_rates(baseline_q, z_factor, counts)
+    out_path = os.path.join(out_dir, os.path.basename(vcf_path) + ".recal")
+    return _apply_recalibration(vcf_path, out_path, rates, {}, {}, max_q,
+                                filter_q, True, False)
+
+
+def _apply_recalibration(vcf_path: str, out_path: str, basic_rates,
+                         edge_rates, edge_suspects, max_q: int, filter_q: int,
+                         do_basic: bool, do_edge: bool) -> str:
     def update(group: List[VcfVariant]):
         changed = False
         out_lines = []
@@ -309,13 +366,10 @@ def recalibrate_vcf(vcf_path: str, out_dir: Optional[str] = None,
             if (v.alt_allele != "." and len(v.ref_allele) == 1
                     and len(v.alt_allele) == 1
                     and "forcedreport" not in v.filters.lower()):
-                if do_basic and basic_rates:
-                    line = _update_line(v, basic_rates, max_q, filter_q, False)
-                if (do_edge and edge_rates
-                        and v.position in edge.suspects.get(v.chrom, [])):
-                    base = parse_vcf_line(line) if line else v
-                    l2 = _update_line(base, edge_rates, max_q, filter_q, True)
-                    line = l2 or line
+                suspect = (do_edge and bool(edge_rates)
+                           and v.position in edge_suspects.get(v.chrom, []))
+                line = _update_line(v, basic_rates if do_basic else {},
+                                    edge_rates, suspect, max_q, filter_q)
             if line is not None:
                 changed = True
                 out_lines.append(line)

@@ -208,3 +208,83 @@ class TestAdaptiveGt:
         assert os.path.exists(model)
         models = adaptive_gt.read_model_file(model)
         assert np.allclose(models[0][0], true_means, atol=0.05)
+
+
+class TestPsaraShippedExpected:
+    """Byte-level comparison against the reference's Psara.Tests expected
+    outputs (FunctionalTests.cs): start-position and expanded inclusion
+    models, plain and gVCF inputs."""
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Psara.Tests/TestData")
+
+    @pytest.mark.parametrize("inp,model,expected", [
+        ("PsaraTestInput.vcf", "start", "Simple.filtered.vcf"),
+        ("PsaraTestInput.genome.vcf", "start", "Simple.filtered.genome.vcf"),
+        ("PsaraTestInput.vcf", "expanded", "Expanded.filtered.vcf"),
+        ("PsaraTestInput.genome.vcf", "expanded",
+         "Expanded.filtered.genome.vcf"),
+    ])
+    def test_matches_expected(self, tmp_path, inp, model, expected):
+        out = str(tmp_path / "out.vcf")
+        psara.filter_vcf(os.path.join(self.SD, inp), out,
+                         os.path.join(self.SD, "roi.txt"), model)
+        ours = [l.rstrip("\n") for l in open(out) if not l.startswith("##")]
+        exp = [l.rstrip("\n") for l in open(os.path.join(self.SD, expected))
+               if not l.startswith("##")]
+        assert ours == exp
+
+
+class TestVqrShippedExpected:
+    """VQR against the reference's shipped expected files
+    (RecalTests / EdgeIssueRecalTests / SignatureSorter tests)."""
+
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VariantQualityRecalibration.Tests/TestData")
+
+    @staticmethod
+    def _body(path):
+        # expected files may carry a double-encoded BOM ("ï»¿##fileformat")
+        return [l.rstrip("\n") for l in open(path, encoding="utf-8-sig")
+                if not l.lstrip("﻿ï»¿").startswith("#")]
+
+    def test_recalibrate_dirty_vcf(self, tmp_path):
+        out = vqr.recalibrate_with_counts(
+            os.path.join(self.SD, "TestWithArtifacts.vcf"),
+            os.path.join(self.SD, "Dirty.counts"), str(tmp_path),
+            z_factor=0, max_q=66, filter_q=0, baseline_q=30)
+        assert self._body(out) == self._body(
+            os.path.join(self.SD, "ExpectedDirty.vcf.recal"))
+
+    def test_recalibrate_edge_issues(self, tmp_path):
+        out = vqr.recalibrate_vcf(
+            os.path.join(self.SD, "TestEdgeExample.vcf"), str(tmp_path),
+            do_edge=True, extent=2, align_warn_threshold=1)
+        assert self._body(out) == self._body(
+            os.path.join(self.SD, "ExpectedEdgeExample.vcf.recal"))
+
+    def test_edge_counts_and_suspects(self):
+        basic, edge = vqr.strain_vcf(
+            os.path.join(self.SD, "FindEdges.vcf"), extent=2)
+        expected = {}
+        for line in open(os.path.join(self.SD, "Expected.edgecounts")):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2 and parts[0] in edge.counts_by_category:
+                expected[parts[0]] = float(parts[1])
+        for cat, n in expected.items():
+            assert edge.counts_by_category[cat] == n, cat
+        assert edge.num_possible_variants == 19
+        exp_suspects = [tuple(l.split("\t")[:2]) for l in
+                        open(os.path.join(self.SD, "Expected.edgevariants"),
+                             encoding="utf-8-sig") if l.strip()]
+        ours = [(c, str(p)) for c, ps in sorted(edge.suspects.items())
+                for p in ps]
+        assert sorted(ours) == sorted(exp_suspects)
+
+    def test_basic_counts(self):
+        basic, _edge = vqr.strain_vcf(
+            os.path.join(self.SD, "TestSignatureSorter.vcf"))
+        expected = {"CtoA": 1, "CtoG": 2, "GtoA": 1, "GtoT": 1,
+                    "TtoA": 1, "TtoC": 2}
+        for cat, n in expected.items():
+            assert basic.counts_by_category[cat] == n
+        assert basic.num_possible_variants == 10
