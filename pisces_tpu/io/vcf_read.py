@@ -143,6 +143,39 @@ def classify(ref: str, alt: str) -> AlleleCategory:
     return AlleleCategory.UNSUPPORTED
 
 
+def parse_filter_string(filters: str) -> list:
+    """Inverse of VcfFormatter's filter-string mapping (partial: tags whose
+    thresholds aren't encoded round-trip; unknown tags are ignored)."""
+    from pisces_tpu.domain.types import FilterType
+    out = []
+    if not filters or filters in ("PASS", "."):
+        return out
+    for tag in filters.split(";"):
+        if tag.startswith("q") and tag[1:].isdigit():
+            out.append(FilterType.LOW_VARIANT_QSCORE)
+        elif tag == "LowDP":
+            out.append(FilterType.LOW_DEPTH)
+        elif tag == "SB":
+            out.append(FilterType.STRAND_BIAS)
+        elif tag == "LowVariantFreq":
+            out.append(FilterType.LOW_VARIANT_FREQUENCY)
+        elif tag == "LowGQ":
+            out.append(FilterType.LOW_GENOTYPE_QUALITY)
+        elif tag == "MultiAllelicSite":
+            out.append(FilterType.MULTI_ALLELIC_SITE)
+        elif tag == "ForcedReport":
+            out.append(FilterType.FORCED_REPORT)
+        elif tag == "NC":
+            out.append(FilterType.NO_CALL)
+        elif tag == "AB":
+            out.append(FilterType.AMPLICON_BIAS)
+        elif tag.startswith("R") and "x" in tag:
+            out.append(FilterType.RMXN)
+        elif tag.startswith("R") and tag[1:].isdigit():
+            out.append(FilterType.INDEL_REPEAT_LENGTH)
+    return out
+
+
 def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
     """VcfVariantUtilities-style conversion incl. crushed-line unpacking."""
     alts = v.alt_allele.split(",")
@@ -169,6 +202,7 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
                               a if a != "." else ref, cat)
         allele.variant_qscore = int(float(v.quality)) if v.quality not in (".", "") else 0
         allele.total_coverage = dp
+        allele.filters = parse_filter_string(v.filters)
         if "GT" in gts:
             allele.genotype = _genotype_from_string(gts["GT"], len(real_alts))
         if "GQ" in gts:

@@ -8,6 +8,7 @@ strands).
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 from typing import Dict, List, Optional, Tuple
@@ -174,7 +175,12 @@ class ConsensusBuilder:
         cons.reference_support = ref_depth
         cons.noise_level_applied = _combine_nl(a, b)
         if a is not None and b is not None:
-            cons.strand_bias_gatk = max(a.strand_bias_gatk, b.strand_bias_gatk)
+            # C# Math.Max propagates NaN
+            if math.isnan(a.strand_bias_gatk) or math.isnan(b.strand_bias_gatk):
+                cons.strand_bias_gatk = float("nan")
+            else:
+                cons.strand_bias_gatk = max(a.strand_bias_gatk,
+                                            b.strand_bias_gatk)
         else:
             cons.strand_bias_gatk = src.strand_bias_gatk
 
@@ -189,7 +195,15 @@ class ConsensusBuilder:
             alt_changed_to_ref = True
         cons.genotype = gt
 
+        # a pool with no record at the locus flags LowDP (before pool bias,
+        # so the filter string reads "LowDP;PB" like the reference)
+        if (a is None or b is None) and \
+                FilterType.LOW_DEPTH not in cons.filters:
+            cons.filters.append(FilterType.LOW_DEPTH)
         self._pool_bias(cons, case, alt_a, alt_b, dp_a, dp_b, alt_changed_to_ref)
+        # per-pool components for the debug columns (VF0/VF1/AD0/AD1/DP0/DP1)
+        cons.pool_stats = (vf_a, vf_b, alt_a, alt_b, dp_a, dp_b,
+                           a is None, b is None)
 
         if case == AGREED_ON_REFERENCE or alt_changed_to_ref or \
                 (case == CAN_NOT_COMBINE and alt_depth == 0):
@@ -261,7 +275,8 @@ def _read_loci(path: str):
 
 
 def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
-                     consensus: bool = True) -> Dict[str, str]:
+                     consensus: bool = True,
+                     debug: bool = False) -> Dict[str, str]:
     """Produces A-only / B-only / A-and-B venn VCFs + consensus VCF."""
     os.makedirs(out_dir, exist_ok=True)
     name_a = os.path.basename(path_a).replace(".vcf", "")
@@ -282,6 +297,11 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
 
     from pisces_tpu.io.vcf_write import dotnet_format
 
+    def _sb_str(sb: float) -> str:
+        if math.isnan(sb):
+            return "NaN"  # C# double.NaN.ToString()
+        return dotnet_format(max(-100.0, min(0.0, sb)), 4)
+
     def write_consensus(fh, c: CalledAllele):
         gt = c.genotype_str()
         alt = c.alt_allele if c.category != AlleleCategory.REFERENCE else "."
@@ -293,15 +313,30 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
              FilterType.LOW_VARIANT_QSCORE: "q30",
              FilterType.STRAND_BIAS: "SB"}.get(f, "Other")
             for f in c.filters) or "PASS"
+        # ref rows carry a single AD value (GetAlleleCountString isReference)
+        ad = (str(c.allele_support)
+              if c.category == AlleleCategory.REFERENCE
+              else f"{c.reference_support},{c.allele_support}")
+        fmt = "GT:GQ:AD:DP:VF:NL:SB:PB"
+        smp = (f"{gt}:{c.genotype_qscore}:"
+               f"{ad}:{c.total_coverage}:"
+               f"{dotnet_format(vf, 3)}:{c.noise_level_applied}:"
+               f"{_sb_str(c.strand_bias_gatk)}:"
+               f"{dotnet_format(getattr(c, 'pool_bias_gatk', -100.0), 4)}")
+        if debug and getattr(c, "pool_stats", None) is not None:
+            vf_a, vf_b, alt_a, alt_b, dp_a, dp_b, na_a, na_b = c.pool_stats
+            def col(val, missing, fmt3=False):
+                if missing:
+                    return "NA"
+                return dotnet_format(val, 3) if fmt3 else str(val)
+            fmt += ":VF0:VF1:AD0:AD1:DP0:DP1"
+            smp += (f":{col(vf_a, na_a, True)}:{col(vf_b, na_b, True)}"
+                    f":{col(alt_a, na_a)}:{col(alt_b, na_b)}"
+                    f":{col(dp_a, na_a)}:{col(dp_b, na_b)}")
         fh.write("\t".join([
             c.chromosome, str(c.position), ".", c.ref_allele, alt,
             str(c.variant_qscore), filters, f"DP={c.total_coverage}",
-            "GT:GQ:AD:DP:VF:NL:SB:PB",
-            f"{gt}:{c.genotype_qscore}:"
-            f"{c.reference_support},{c.allele_support}:{c.total_coverage}:"
-            f"{dotnet_format(vf, 4)}:{c.noise_level_applied}:"
-            f"{dotnet_format(max(-100.0, min(0.0, c.strand_bias_gatk)), 4)}:"
-            f"{dotnet_format(getattr(c, 'pool_bias_gatk', -100.0), 4)}"]) + "\n")
+            fmt, smp]) + "\n")
 
     gen_a = _read_loci(path_a)
     gen_b = _read_loci(path_b)
@@ -354,6 +389,8 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
                                                       cons.genotype_qscore)
                         continue
                 consensus_at_locus.append(cons)
+        # colocated consensus records in (ref, alt) order (AlleleCompareByLoci)
+        consensus_at_locus.sort(key=lambda c: (c.ref_allele, c.alt_allele))
         for c in consensus_at_locus:
             write_consensus(files["consensus"], c)
 

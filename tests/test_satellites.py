@@ -288,3 +288,32 @@ class TestVqrShippedExpected:
         for cat, n in expected.items():
             assert basic.counts_by_category[cat] == n
         assert basic.num_possible_variants == 10
+
+
+class TestVennShippedExpected:
+    """Pairwise venn + consensus vs the reference's shipped expected files
+    (VennProcessorTests.VennVcf_FxnlTest_HG19 and the gVCF ref-squash
+    scenario of ExpectedConsensus2)."""
+
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VennVcf.Tests/TestData")
+
+    @staticmethod
+    def _body(path):
+        return [l.rstrip("\n") for l in open(path, encoding="utf-8-sig")
+                if not l.startswith("#") and l.count("\t") > 5]
+
+    def test_consensus_hg19(self, tmp_path):
+        paths = vennvcf.do_pairwise_venn(
+            os.path.join(self.SD, "control_S15.vcf"),
+            os.path.join(self.SD, "control_S18.vcf"), str(tmp_path),
+            debug=True)
+        assert self._body(paths["consensus"]) == self._body(
+            os.path.join(self.SD, "ExpectedConsensus.vcf"))
+
+    def test_consensus_gvcf_pair(self, tmp_path):
+        paths = vennvcf.do_pairwise_venn(
+            os.path.join(self.SD, "C64-Ct-4_S17.genome.vcf"),
+            os.path.join(self.SD, "C64-Ct-4_S18.genome.vcf"), str(tmp_path))
+        assert self._body(paths["consensus"]) == self._body(
+            os.path.join(self.SD, "ExpectedConsensus2.vcf"))
