@@ -317,3 +317,19 @@ class TestVennShippedExpected:
             os.path.join(self.SD, "C64-Ct-4_S18.genome.vcf"), str(tmp_path))
         assert self._body(paths["consensus"]) == self._body(
             os.path.join(self.SD, "ExpectedConsensus2.vcf"))
+
+
+def test_vqr_diploid_crushed_vcf(tmp_path):
+    """VcfRewritingTests.TestOnADiploidVcf: crushed diploid lines; multi-alt
+    records are skipped (CanSkipVcfLine), SNV rows recalibrated."""
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VariantQualityRecalibration.Tests/TestData")
+    out = vqr.recalibrate_with_counts(
+        os.path.join(SD, "TestWithDiploidCalls.vcf"),
+        os.path.join(SD, "Dirty.counts"), str(tmp_path),
+        z_factor=0, max_q=66, filter_q=30, baseline_q=30)
+    ours = [l.rstrip("\n") for l in open(out) if not l.startswith("#")]
+    exp = [l.rstrip("\n") for l in
+           open(os.path.join(SD, "ExpectedDiploidCalls.vcf.recal"),
+                encoding="utf-8-sig") if not l.lstrip("﻿ï»¿").startswith("#")]
+    assert ours == exp
