@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
            "accelerator (best with locally-attached TPUs)")
     a("-resume", default="false",
       help="with -MultiProcess: skip completed chromosome shards")
+    a("-windowsize", type=int, default=0,
+      help="stream chromosomes in windows of this many bases via the .bai "
+           "index (bounded memory for WGS-scale inputs); 0 = whole-chromosome")
     return p
 
 
@@ -165,6 +168,7 @@ def options_from_args(args, argv) -> PiscesApplicationOptions:
     o.debug_mode = _b(args.debug)
     o.use_stitched_xd_info = _b(args.usestitchedxd)
     o.tracked_anchor_size = args.trackedanchorsize
+    o.window_size = args.windowsize
 
     bf = o.bam_filter_parameters
     bf.minimum_base_call_quality = args.minbq

@@ -265,6 +265,56 @@ def load_forced_alleles(paths: List[str]) -> set:
     return out
 
 
+class _RegionView:
+    """Reader shim exposing one genomic window of a lazy indexed BAM as if
+    it were the whole file, so call_chromosome can run per window with
+    bounded memory (the streaming analog of the reference's 1000-bp block
+    recycling, RegionStateManager.cs:425-439, scaled to .bai granularity)."""
+
+    def __init__(self, reader, ref_id: int, beg0: int, end0: int):
+        self._reader = reader
+        self._ref_id = ref_id
+        self._beg0 = beg0
+        self._end0 = end0
+        self.header = reader.header
+        self.path = reader.path
+
+    def fetch(self, ref_id=None, parse_tags: bool = False):
+        return self._reader.fetch_region(self._ref_id, self._beg0, self._end0,
+                                         parse_tags=parse_tags)
+
+
+def call_chromosome_windowed(options, chrom, reader, ref_id: int,
+                             intervals=None, use_device: bool = True,
+                             forced_alleles=None, priors=None):
+    """Stream one chromosome in window_size slices. Yields
+    (result, w_start1, w_end1) per window; counts at in-window positions are
+    complete because fetch_region selects reads by overlap, and the margin
+    covers spanning-variant endpoint lookups past the window edge."""
+    L = len(chrom.sequence)
+    win = options.window_size
+    margin = options.window_margin
+    for w0 in range(0, L, win):
+        w1 = min(w0 + win, L)
+        view = _RegionView(reader, ref_id, max(0, w0 - margin),
+                           min(L, w1 + margin))
+        result = call_chromosome(options, chrom, view, intervals, use_device,
+                                 forced_alleles, priors)
+        # keep only loci inside [w0+1, w1] (1-based)
+        if isinstance(result, tuple):
+            alleles, ref_lines = result
+            alleles = [a for a in alleles if w0 < a.position <= w1]
+            if ref_lines is not None:
+                positions, lines = ref_lines
+                m = (positions > w0) & (positions <= w1)
+                ref_lines = (positions[m],
+                             [l for l, k in zip(lines, m) if k])
+            yield (alleles, ref_lines), w0 + 1, w1
+        else:
+            yield ([a for a in result if w0 < a.position <= w1],
+                   None), w0 + 1, w1
+
+
 def load_priors(path: str, trim_mnv: bool = False):
     """Load known collapsable variants (-PriorsPath) into per-chromosome
     Candidate lists for the collapser (Factory.cs priors + TrimMnvPriors:
@@ -340,16 +390,35 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             chrom = genome.get_chr_reference(chrom_name)
             intervals = _load_intervals(options, chrom_name)
             t0 = time.time()
-            result = call_chromosome(options, chrom, bam, intervals,
-                                     use_device, forced_alleles, priors)
-            if isinstance(result, tuple):
-                alleles, ref_lines = result
-                write_spliced(writer, alleles, ref_lines)
-            else:
-                alleles = result
-                mapper = make_region_mapper(options, chrom, intervals)
-                writer.write(alleles, mapper)
-                writer.write_remaining(mapper)
+            windowed = False
+            if options.window_size > 0 and intervals is None:
+                from pisces_tpu.io.bam import BamReader as PyBamReader
+                if os.path.exists(bam_path + ".bai"):
+                    lazy = PyBamReader(bam_path, lazy=True)
+                    rid = lazy.header.ref_index(chrom_name)
+                    windowed = True
+                    alleles_all = []
+                    for (w_alleles, w_refs), _w0, _w1 in \
+                            call_chromosome_windowed(
+                                options, chrom, lazy, rid, None, use_device,
+                                forced_alleles, priors):
+                        write_spliced(writer, w_alleles, w_refs)
+                        alleles_all.extend(w_alleles)
+                    alleles = alleles_all
+                else:
+                    log(f"window mode requested but {bam_path}.bai missing; "
+                        "processing whole chromosome", "WARNING")
+            if not windowed:
+                result = call_chromosome(options, chrom, bam, intervals,
+                                         use_device, forced_alleles, priors)
+                if isinstance(result, tuple):
+                    alleles, ref_lines = result
+                    write_spliced(writer, alleles, ref_lines)
+                else:
+                    alleles = result
+                    mapper = make_region_mapper(options, chrom, intervals)
+                    writer.write(alleles, mapper)
+                    writer.write_remaining(mapper)
             if bias_writer is not None:
                 bias_writer.write(alleles)
                 amp_bias_writer.write(alleles)

@@ -164,6 +164,10 @@ class PiscesApplicationOptions:
     debug_mode: bool = False
     priors_path: Optional[str] = None       # vcf of known variants to force
     trim_mnv_priors: bool = False
+    # TPU-build extension: process chromosomes in fixed-size windows via the
+    # .bai index so WGS-scale inputs stream with bounded memory (0 = off)
+    window_size: int = 0
+    window_margin: int = 2000
 
     bam_filter_parameters: BamFilterParameters = field(default_factory=BamFilterParameters)
     variant_calling_parameters: VariantCallingParameters = field(
