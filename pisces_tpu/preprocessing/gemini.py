@@ -213,6 +213,87 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
     return out_path
 
 
+def _gemini_chrom_worker(args):
+    """One chromosome in a worker process: writes a per-chr BAM shard."""
+    bam_path, genome_dir, chrom_name, shard_path, opt_dict = args
+    from pisces_tpu.io.bam import BamReader
+    options = GeminiOptions(**opt_dict)
+    genome = Genome(genome_dir)
+    reader = BamReader(bam_path)
+    rid = reader.header.ref_index(chrom_name)
+    batch = reader.fetch(rid)
+    names = _read_names(reader)
+    batch_names = _names_for_batch(reader, rid, names)
+    refseq = genome.get_chr_reference(chrom_name).sequence
+    records, stats = process_chromosome(chrom_name, refseq, batch, options,
+                                        batch_names)
+    w = BamWriter(shard_path, reader.header.ref_names,
+                  reader.header.ref_lengths)
+    for r in records:
+        w.add(r)
+    w.write(sort=True)
+    return chrom_name, shard_path, stats
+
+
+def run_gemini_multi(bam_path: str, genome_dir: str,
+                     out_path: Optional[str] = None,
+                     options: Optional[GeminiOptions] = None,
+                     n_processes: int = 4) -> str:
+    """GeminiMulti equivalent (GeminiMultiProcessor.ExecuteChromosomeJobs,
+    exe/GeminiMulti/GeminiMultiProcessor.cs:30-200): one worker process per
+    chromosome, per-chr BAM shards merged natively (the samtools cat/sort/
+    index step of GeminiWorkflow.cs:62-101) into a sorted, indexed BAM."""
+    import dataclasses
+    import multiprocessing as mp
+    import tempfile
+
+    from pisces_tpu.io.bam import BamReader
+
+    options = options or GeminiOptions()
+    out_path = out_path or bam_path.replace(".bam", ".gemini.bam")
+    genome = Genome(genome_dir)
+    header = BamReader(bam_path).header
+    chroms = [c for c in genome.chromosome_names if c in header.ref_names]
+    tmpdir = tempfile.mkdtemp(prefix="gemini_multi_")
+    jobs = [(bam_path, genome_dir, c, os.path.join(tmpdir, f"{c}.bam"),
+             dataclasses.asdict(options)) for c in chroms]
+    ctx = mp.get_context("spawn")
+    total_stats = defaultdict(int)
+    shards = {}
+    with ctx.Pool(min(n_processes, max(len(jobs), 1))) as pool:
+        for chrom_name, shard_path, stats in pool.imap_unordered(
+                _gemini_chrom_worker, jobs):
+            shards[chrom_name] = shard_path
+            for k, v in stats.items():
+                total_stats[k] += v
+
+    # native merge in genome order (samtools cat analog), then index
+    merged = BamWriter(out_path, header.ref_names, header.ref_lengths,
+                       extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
+    for c in chroms:
+        shard_reader = BamReader(shards[c])
+        names = _read_names(shard_reader)
+        batch = shard_reader.fetch(parse_tags=True)
+        for i in range(batch.n):
+            s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
+            qs, qe = batch.seq_off[i], batch.seq_off[i + 1]
+            cigar = list(zip(batch.cigar_ops[s:e].tolist(),
+                             batch.cigar_lens[s:e].tolist()))
+            seq = ALLELE_CHARS[batch.seq[qs:qe]].tobytes().decode()
+            tags = {}
+            if batch.xd_tags is not None and batch.xd_tags[i]:
+                tags["XD"] = batch.xd_tags[i]
+            merged.add(BamRecord(names[i], int(batch.ref_id[i]),
+                                 int(batch.pos[i]), int(batch.mapq[i]),
+                                 int(batch.flag[i]), cigar, seq,
+                                 list(batch.qual[qs:qe]), tags=tags))
+        os.unlink(shards[c])
+    os.rmdir(tmpdir)
+    merged.write(sort=True, index=True)
+    log(f"gemini-multi: {dict(total_stats)} -> {out_path}")
+    return out_path
+
+
 def _read_names(reader) -> List[str]:
     """Decode read names for all records (python reader internals)."""
     import struct
@@ -248,11 +329,18 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--out", default=None)
     p.add_argument("-stitch", default="true")
     p.add_argument("-realign", default="true")
+    p.add_argument("-multiprocess", default="false",
+                   help="GeminiMulti mode: one worker process per chromosome")
+    p.add_argument("-numprocesses", type=int, default=4)
     args = p.parse_args(argv)
     options = GeminiOptions()
     options.stitch_pairs = args.stitch.lower() == "true"
     options.realign = args.realign.lower() == "true"
-    run_gemini(args.bam, args.genome, args.out, options)
+    if args.multiprocess.lower() == "true":
+        run_gemini_multi(args.bam, args.genome, args.out, options,
+                         args.numprocesses)
+    else:
+        run_gemini(args.bam, args.genome, args.out, options)
     return 0
 
 

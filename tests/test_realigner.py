@@ -123,3 +123,29 @@ class TestGeminiPipeline:
         assert batch.n == 1  # one stitched read
         assert batch.seq_off[1] == 30
         assert batch.xd_tags[0] == "10F10S10R"
+
+
+def test_gemini_multi_matches_single(tmp_path):
+    """GeminiMulti-equivalent per-chromosome fan-out + native merge produces
+    the same reads as single-process Gemini, sorted and indexed."""
+    import conftest
+    import os
+    import shutil
+    from pisces_tpu.io.bam import BamReader as _BR
+    from pisces_tpu.preprocessing.gemini import run_gemini, run_gemini_multi
+
+    src = conftest.shared_bam("Chr17Chr19.bam")
+    gdir = conftest.shared_genome("chr19")
+    bam = str(tmp_path / "in.bam")
+    shutil.copy(src, bam)
+    single = run_gemini(bam, gdir, str(tmp_path / "single.bam"))
+    multi = run_gemini_multi(bam, gdir, str(tmp_path / "multi.bam"),
+                             n_processes=2)
+    assert os.path.exists(multi + ".bai")
+    a = _BR(single).fetch(parse_tags=True)
+    b = _BR(multi).fetch(parse_tags=True)
+    assert a.n == b.n
+    assert np.array_equal(a.pos, b.pos)
+    assert np.array_equal(a.seq, b.seq)
+    assert np.array_equal(a.cigar_ops, b.cigar_ops)
+    assert a.xd_tags == b.xd_tags
