@@ -302,7 +302,7 @@ class VcfFormatter:
 
         if c.should_report_gp and first.genotype_posteriors is not None:
             fmt.append("GP")
-            smp.append(",".join(dotnet_format(x, 2)
+            smp.append(",".join(dotnet_format(float(x), 2)
                                 for x in first.genotype_posteriors))
 
         if c.should_output_rc_counts:

@@ -116,6 +116,131 @@ def read_model_file(path: str):
     return models
 
 
+def make_locus_update(snv_model, indel_model, output_gvcf: bool = False):
+    """Adaptive rewrite of one colocated locus (tools/AdaptiveGenotyper/
+    LocusProcessor.cs:15-224): pick the top two alleles by frequency; a
+    single variant gets the prefit mixture-model genotype/GQ/GP; a true
+    multi-allelic het becomes a crushed 1/2 record with multinomial
+    posteriors over both models; hom-ref/ref-no-call loci are deleted
+    unless emitting gVCF. chrM stays somatic (untouched)."""
+    import numpy as np
+
+    from pisces_tpu.domain.types import AlleleCategory, Genotype, PloidyModel
+    from pisces_tpu.io.vcf_read import to_called_alleles
+    from pisces_tpu.io.vcf_write import VcfFormatter, VcfWriterConfig
+    from pisces_tpu.options import PiscesApplicationOptions
+
+    o = PiscesApplicationOptions()
+    o.variant_calling_parameters.ploidy_model = PloidyModel.DIPLOID_BY_ADAPTIVE_GT
+    o.validate()
+    fmtr = VcfFormatter(VcfWriterConfig(o))
+
+    def model_for(a):
+        if a.category in (AlleleCategory.INSERTION, AlleleCategory.DELETION):
+            return indel_model
+        return snv_model
+
+    def preprocess(a):
+        ad = min(a.allele_support, a.total_coverage)
+        dp = a.total_coverage
+        if a.category == AlleleCategory.REFERENCE:
+            ad = a.reference_support
+        if dp > adaptive.MAX_EFFECTIVE_DEPTH:
+            ad = int(ad / dp * adaptive.MAX_EFFECTIVE_DEPTH)
+            dp = adaptive.MAX_EFFECTIVE_DEPTH
+        return ad, dp
+
+    def update_genotype(a, cat):
+        if cat == 0 or a.category == AlleleCategory.REFERENCE:
+            a.genotype = Genotype.HOMOZYGOUS_REF
+        elif cat == 1:
+            a.genotype = Genotype.HETEROZYGOUS_ALT_REF
+        else:
+            a.genotype = Genotype.HOMOZYGOUS_ALT
+
+    def format_locus(variants):
+        first = variants[0]
+        total_depth = fmtr.get_depth_count(variants)
+        fmt, smp = fmtr.construct_format_and_sample(variants, total_depth)
+        if len(variants) == 1:
+            ref_s, alt_s = fmtr.uncrushed_ref_and_alt(first)
+        else:
+            ref_s, alt_s = fmtr.merge_crushed_ref_and_alt(variants)
+        if first.genotype in (Genotype.HOMOZYGOUS_REF,
+                              Genotype.REF_LIKE_NOCALL,
+                              Genotype.REF_AND_NOCALL):
+            alt_s = "."
+        joint_q = min(v.variant_qscore for v in variants)
+        return (f"{first.chromosome}\t{first.position}\t.\t{ref_s}\t{alt_s}\t"
+                f"{joint_q}\t{fmtr.map_filters(variants)}\t"
+                f"DP={total_depth}\t{fmt}\t{smp}")
+
+    def update(group: List[VcfVariant]):
+        if group[0].chrom.lower() in ("chrm", "mt"):
+            return None  # chrM stays somatic (GetPloidyForThisChr)
+        alleles = [a for v in group for a in to_called_alleles(v)]
+        if not alleles:
+            return None
+        variants = [a for a in alleles
+                    if a.category != AlleleCategory.REFERENCE]
+        # GetTopTwoAlleles: keep the second only if it beats the ref vf
+        if len(variants) >= 2:
+            variants.sort(key=lambda a: -a.frequency)
+            ref_vf = 1.0 - sum(a.frequency for a in variants)
+            ordered = variants[:2] if ref_vf <= variants[1].frequency \
+                else [variants[0]]
+        elif variants:
+            ordered = [variants[0]]
+        else:
+            ordered = [alleles[0]]
+
+        if len(ordered) == 1:
+            a = ordered[0]
+            means, priors = model_for(a)
+            ad, dp = preprocess(a)
+            cat, q, gp = adaptive.calculate_q_and_posteriors(
+                ad, dp, means, priors)
+            update_genotype(a, cat)
+            a.genotype_qscore = q
+            a.genotype_posteriors = gp
+            out = [a]
+        else:
+            a1, a2 = ordered
+            means1, _p1 = model_for(a1)
+            cat, _q, _gp = adaptive.calculate_q_and_posteriors(
+                *preprocess(a1), *model_for(a1))
+            if cat != 1:
+                update_genotype(a1, cat)
+                _c2, q, gp = adaptive.calculate_q_and_posteriors(
+                    *preprocess(a1), *model_for(a1))
+                a1.genotype_qscore = q
+                a1.genotype_posteriors = gp
+                out = [a1]
+            else:
+                dp = a1.total_coverage
+                ad2 = a1.allele_support
+                ad1 = a2.allele_support
+                ad0 = dp - ad1 - ad2
+                if ad0 < 0:
+                    ad0 = 0
+                    dp = ad1 + ad2
+                q, gp = adaptive.get_multinomial_qscores(
+                    np.array([ad0, ad1, ad2]), dp,
+                    [model_for(a1)[0], model_for(a2)[0]])
+                for a in (a1, a2):
+                    a.genotype = Genotype.HETEROZYGOUS_ALT1_ALT2
+                    a.genotype_qscore = q
+                    a.genotype_posteriors = gp
+                out = [a1, a2]
+
+        if not output_gvcf and out[0].genotype in (
+                Genotype.HOMOZYGOUS_REF, Genotype.REF_LIKE_NOCALL):
+            return []  # DeleteCompletely
+        return [format_locus(out)]
+
+    return update
+
+
 def recalibrate(vcf_path: str, out_dir: Optional[str] = None,
                 model_file: Optional[str] = None, use_jax: bool = False) -> str:
     out_dir = out_dir or os.path.dirname(vcf_path)
@@ -147,38 +272,8 @@ def recalibrate(vcf_path: str, out_dir: Optional[str] = None,
     out_path = os.path.join(out_dir,
                             os.path.basename(vcf_path) + ".recal")
 
-    def update(group: List[VcfVariant]):
-        changed = False
-        out_lines = []
-        for v in group:
-            obs = _observation(v)
-            if obs is None:
-                out_lines.append(v.raw_line)
-                continue
-            kind, ad, dp = obs
-            ad = min(ad, dp)
-            if dp > adaptive.MAX_EFFECTIVE_DEPTH:
-                ad = int(ad / dp * adaptive.MAX_EFFECTIVE_DEPTH)
-                dp = adaptive.MAX_EFFECTIVE_DEPTH
-            means, priors = snv_model if kind == "snv" else indel_model
-            cat, q, gp = adaptive.calculate_q_and_posteriors(ad, dp, means, priors)
-            fields = v.raw_line.split("\t")
-            fmt_keys = v.format.split(":")
-            smp = v.sample.split(":")
-            kv = dict(zip(fmt_keys, smp))
-            is_ref_line = v.alt_allele == "."
-            gt = GT_STRINGS[0 if is_ref_line and cat == 0 else cat]
-            if is_ref_line and cat != 0:
-                gt = "./."  # ref line that no longer looks hom-ref
-            kv["GT"] = gt
-            kv["GQ"] = str(q)
-            new_fmt = fmt_keys + (["GP"] if "GP" not in fmt_keys else [])
-            kv["GP"] = ",".join(f"{x:.2f}" for x in gp)
-            fields[8] = ":".join(new_fmt)
-            fields[9] = ":".join(kv.get(k, ".") for k in new_fmt)
-            out_lines.append("\t".join(fields))
-            changed = True
-        return out_lines if changed else None
+    update = make_locus_update(snv_model, indel_model,
+                               output_gvcf=vcf_path.endswith(".genome.vcf"))
 
     def header_fn(line: str):
         if line.startswith("#CHROM"):
