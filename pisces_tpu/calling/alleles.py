@@ -21,6 +21,7 @@ class CalledAllele:
     category: AlleleCategory
 
     allele_support: int = 0
+    soft_clip_allele_support: int = 0  # CalledAllele.cs:38 (Scylla clip rescue)
     well_anchored_support: int = 0
     support_by_direction: np.ndarray = field(
         default_factory=lambda: np.zeros(NUM_DIRECTION_TYPES, dtype=np.int64))

@@ -41,6 +41,9 @@ class PhasableVariantCriteria:
     phasing_distance: int = 50
     chrs_to_process: tuple = ()
     min_passing_variants_in_nbhd: int = 0
+    # debugging restrictions (PhasingOptions.cs:9-10)
+    filtered_nbhd_to_process: Optional[str] = None
+    max_num_nbhds_to_process: int = -1
 
 
 @dataclass
@@ -59,6 +62,10 @@ class Neighborhood:
     used_ref_counts: Dict[int, Tuple[int, CalledAllele]] = field(default_factory=dict)
     called_variants: Dict[int, List[CalledAllele]] = field(default_factory=dict)
     called_refs: Dict[int, CalledAllele] = field(default_factory=dict)
+    # soft-clip rescue window (VcfNeighborhood.cs:26-27,119-131)
+    soft_clip_end_before: int = -1
+    soft_clip_pos_after: int = -1
+    number_clipped_reads: int = 0
 
     def set_range_of_interest(self, refseq: Optional[np.ndarray]) -> None:
         self.sites.sort(key=lambda s: s.true_first_base_of_diff)
@@ -69,6 +76,16 @@ class Neighborhood:
             la = vs.position + max(len(vs.alt), len(vs.ref))
             look = max(look, la)
         self.last_position_with_lookahead = look
+        # If the first variant is an indel, soft-clipped reads end exactly on
+        # its vcf position; for an SNV they end one base before it
+        # (VcfNeighborhood.SetRangeOfInterest, VcfNeighborhood.cs:119-131).
+        first = self.sites[0]
+        if len(first.ref) != len(first.alt):
+            self.soft_clip_end_before = first.position
+        else:
+            self.soft_clip_end_before = first.position - 1
+        last = self.sites[-1]
+        self.soft_clip_pos_after = last.position + len(last.ref)
         n = self.last_position_with_lookahead - self.first_position_of_interest
         if refseq is None:
             self.reference_substring = "R" * n
@@ -312,6 +329,9 @@ class ScyllaOptions:
         self.clustering = ClusteringParameters()
         self.phasable = PhasableVariantCriteria()
         self.crush_nbhd = False
+        # SoftClipSupportParameters (PhasingOptions.cs:26-29)
+        self.use_soft_clipped_reads = False
+        self.min_size_for_clip_rescue = 6
 
 
 def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
@@ -322,6 +342,8 @@ def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
     groups: Dict[tuple, VeadGroup] = {}
     pos1 = batch.pos.astype(np.int64) + 1
     end1 = batch.end_pos.astype(np.int64) + 1
+    nbhd.number_clipped_reads = _count_clipped_in_neighborhood(
+        nbhd, batch, pos1, end1)
     in_range = (keep & (end1 >= nbhd.first_position_of_interest)
                 & (pos1 <= nbhd.last_position_with_lookahead))
     for i in np.nonzero(in_range)[0]:
@@ -340,6 +362,100 @@ def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
         else:
             groups[key] = VeadGroup(vead)
     return list(groups.values())
+
+
+_SOFTCLIP_OP = CIGAR_OPS.index("S")
+
+
+def _clip_flags(batch):
+    """Per-read (starts_with_softclip, ends_with_softclip, prefix_len,
+    suffix_len) from the columnar CIGAR arrays (Read.StartsWithSoftClip /
+    EndsWithSoftClip, Pisces.Domain/Models/Read.cs:139-140)."""
+    off = batch.cigar_off
+    n = len(off) - 1
+    has = off[1:] > off[:-1]
+    first_idx = np.where(has, off[:-1], 0)
+    last_idx = np.where(has, off[1:] - 1, 0)
+    starts = has & (batch.cigar_ops[first_idx] == _SOFTCLIP_OP)
+    ends = has & (batch.cigar_ops[last_idx] == _SOFTCLIP_OP)
+    prefix_len = np.where(starts, batch.cigar_lens[first_idx], 0)
+    suffix_len = np.where(ends, batch.cigar_lens[last_idx], 0)
+    return starts, ends, prefix_len.astype(np.int64), suffix_len.astype(np.int64)
+
+
+def _count_clipped_in_neighborhood(nbhd: Neighborhood, batch, pos1, end1) -> int:
+    """NeighborhoodReadFilter.IsClippedWithinNeighborhood counting
+    (VeadGroupSource.cs:56-59): a read whose clip boundary (the alignment
+    start for a leading clip, the alignment end for a trailing clip) falls
+    inside [SoftClipEndBeforeNbhd, SoftClipPosAfterNbhd]."""
+    starts, ends, _, _ = _clip_flags(batch)
+    lo, hi = nbhd.soft_clip_end_before, nbhd.soft_clip_pos_after
+    prefix_in = starts & (pos1 >= lo) & (pos1 <= hi)
+    suffix_in = ends & (end1 >= lo) & (end1 <= hi)
+    return int(np.count_nonzero(prefix_in | suffix_in))
+
+
+def supplement_softclip_support(nbhd: Neighborhood, batch,
+                                options: ScyllaOptions) -> None:
+    """MNVSoftClipSupportFinder.SupplementSupportWithClippedReads
+    (MNVSoftClipSupportFinder.cs.cs:31-83).
+
+    For each accepted phased MNV of total allele length >=
+    MinSizeForClipRescue, count reads whose soft-clipped prefix/suffix is
+    anchored exactly at the MNV's divergence boundary
+    (MNVSoftClipReadFilter.IsReadClippedAtMNVSite) and whose clipped bases
+    reproduce the alternate haplotype (MNVClippedReadComparator.
+    DoesClippedReadSupportMNV); then re-assign every candidate's q-score as
+    AssignPoissonQScore(AlleleSupport, ReferenceSupport, noise, maxQ) —
+    reference-support-as-coverage exactly as the reference does.
+    """
+    pos1 = batch.pos.astype(np.int64) + 1
+    end1 = batch.end_pos.astype(np.int64) + 1
+    starts, ends, prefix_len, suffix_len = _clip_flags(batch)
+
+    for mnv in nbhd.accepted:
+        ref, alt = mnv.ref_allele, mnv.alt_allele
+        if len(ref) + len(alt) < options.min_size_for_clip_rescue:
+            continue
+        # last matching ref position before a trailing clip would begin
+        if ref[0] == alt[0]:
+            expected_end = mnv.position
+        else:
+            expected_end = mnv.position - 1
+        # alignment start position of a read whose prefix was clipped here
+        if ref[-1] == alt[-1]:
+            expected_pos = mnv.position + len(ref) - 1
+        else:
+            expected_pos = mnv.position + len(ref)
+        L = len(alt)
+        alt_bytes = alt.encode()
+
+        supported = np.zeros(len(pos1), dtype=bool)
+        pre_idx = np.nonzero(starts & (pos1 == expected_pos)
+                             & (prefix_len >= L))[0]
+        for i in pre_idx:
+            qs = batch.seq_off[i]
+            n = int(prefix_len[i])
+            prefix = ALLELE_CHARS[batch.seq[qs:qs + n]].tobytes()
+            if prefix[n - L:] == alt_bytes:
+                supported[i] = True
+        suf_idx = np.nonzero(ends & (end1 == expected_end)
+                             & (suffix_len >= L))[0]
+        for i in suf_idx:
+            qe = batch.seq_off[i + 1]
+            n = int(suffix_len[i])
+            suffix = ALLELE_CHARS[batch.seq[qe - n:qe]].tobytes()
+            if suffix[:L] == alt_bytes:
+                supported[i] = True
+        n_clip = int(np.count_nonzero(supported))
+        if n_clip:
+            mnv.allele_support += n_clip
+            mnv.soft_clip_allele_support += n_clip
+
+    for mnv in nbhd.accepted:
+        mnv.variant_qscore = int(stats.assign_poisson_qscore(
+            mnv.allele_support, mnv.reference_support,
+            options.min_base_call_quality, options.max_q))
 
 
 def process_neighborhood(nbhd: Neighborhood, batch, keep, refseq,
@@ -378,6 +494,11 @@ def process_neighborhood(nbhd: Neighborhood, batch, keep, refseq,
         rec = nbhd.used_ref_counts.get(pv.position)
         if rec is not None and rec[1] is not pv:
             pv.reference_support = max(0, pv.reference_support - rec[0])
+
+    # soft-clip rescue between MNV creation and genotyping
+    # (VariantPhaser.cs:135-140)
+    if nbhd.number_clipped_reads > 0 and options.use_soft_clipped_reads:
+        supplement_softclip_support(nbhd, batch, options)
 
     _call_mnvs(nbhd, options)
     _call_refs(nbhd, options)
@@ -482,6 +603,8 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
                 yield a
 
     neighborhoods = build_neighborhoods(allele_stream(), options.phasable)
+    if options.phasable.max_num_nbhds_to_process > 0:
+        neighborhoods = neighborhoods[:options.phasable.max_num_nbhds_to_process]
     log(f"Scylla: {len(neighborhoods)} neighborhoods to phase")
 
     # per-chromosome read batches
@@ -501,6 +624,9 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
                 batches[nbhd.chrom] = (b, k, refseq)
             else:
                 batches[nbhd.chrom] = (None, None, None)
+        if (options.phasable.filtered_nbhd_to_process
+                and nbhd.id != options.phasable.filtered_nbhd_to_process):
+            continue
         b, k, refseq = batches[nbhd.chrom]
         if b is None:
             continue
@@ -595,18 +721,85 @@ def _merge_to_output(vcf_path: str, out_path: str,
 
 
 def main(argv=None) -> int:
+    """Scylla CLI with the reference's flag surface
+    (ScyllaOptionsParser.cs: required/common/clustering/phasable-criteria/
+    clipped-read-support groups plus the shared BamFilter and
+    VariantCalling option groups), case-insensitive."""
+    from pisces_tpu.apps._pisces_main import _normalize
+
+    def _b(s) -> bool:
+        return str(s).strip().lower() in ("true", "1", "yes")
+
     p = argparse.ArgumentParser(prog="scylla", description="MNV phaser")
-    p.add_argument("-vcf", required=True)
-    p.add_argument("-bam", required=True)
-    p.add_argument("-g", "--genome", default=None)
-    p.add_argument("-o", "--out", default=None)
-    p.add_argument("-dist", "--phasingdistance", type=int, default=50)
-    p.add_argument("-passingvariantsonly", default="true")
-    args = p.parse_args(argv)
+    a = p.add_argument
+    a("-vcf", required=True)
+    a("-bam", required=True)
+    a("-g", "-genome", dest="genome", default=None)
+    a("-o", "-out", dest="out", default=None)
+    a("-chr", default=None, help="comma-separated chromosomes to process")
+    a("-dist", "-phasingdistance", dest="phasingdistance", type=int,
+      default=50)
+    a("-passingvariantsonly", default="true")
+    a("-hetvariantsonly", default="false")
+    a("-maxnbhdstoprocess", type=int, default=-1)
+    a("-nbhd", "-filterednbhdtoprocess", dest="nbhd", default=None)
+    a("-clusterconstraint", type=int, default=-1)
+    a("-allowclustermerging", default="true")
+    a("-allowworstfitremoval", default="true")
+    a("-usesoftclippedreads", default="false")
+    a("-minsizeforcliprescue", type=int, default=6)
+    a("-debug", default="false")
+    # shared BamFilter group
+    a("-minbq", "-minbasecallquality", dest="minbq", type=int, default=20)
+    a("-minmq", "-minmapquality", dest="minmq", type=int, default=1)
+    a("-filterduplicates", "-duplicatereadfilter", dest="filterduplicates",
+      default="true")
+    a("-pp", "-onlyuseproperpairs", dest="properpairs", default="false")
+    # shared VariantCalling group (subset used by the phasing rescore)
+    a("-minvq", "-minvariantqscore", dest="minvq", type=int, default=20)
+    a("-vqfilter", "-variantqualityfilter", dest="vqfilter", type=int,
+      default=30)
+    a("-minvf", "-minimumvariantfrequency", "-minimumfrequency",
+      dest="minvf", type=float, default=0.01)
+    a("-vffilter", "-minvariantfrequencyfilter", dest="vffilter",
+      type=float, default=None)
+    a("-mindpfilter", "-mindepthfilter", dest="mindpfilter", type=int,
+      default=None)
+    a("-c", "-mindp", "-mindepth", "-mincoverage", dest="mindp", type=int,
+      default=10)
+    a("-maxvq", "-maxvariantqscore", dest="maxvq", type=int, default=100)
+    a("-crushvcf", default="false")
+    args = p.parse_args(_normalize(list(argv if argv is not None
+                                        else sys.argv[1:])))
     options = ScyllaOptions()
-    options.phasable.phasing_distance = args.phasingdistance
-    options.phasable.passing_variants_only = (
-        args.passingvariantsonly.lower() == "true")
+    ph = options.phasable
+    ph.phasing_distance = args.phasingdistance
+    ph.passing_variants_only = _b(args.passingvariantsonly)
+    ph.het_variants_only = _b(args.hetvariantsonly)
+    ph.max_num_nbhds_to_process = args.maxnbhdstoprocess
+    ph.filtered_nbhd_to_process = args.nbhd
+    if args.chr:
+        ph.chrs_to_process = tuple(c for c in args.chr.split(",") if c)
+    cl = options.clustering
+    cl.cluster_constraint = args.clusterconstraint
+    cl.allow_cluster_merging = _b(args.allowclustermerging)
+    cl.allow_worst_fit_removal = _b(args.allowworstfitremoval)
+    options.use_soft_clipped_reads = _b(args.usesoftclippedreads)
+    options.min_size_for_clip_rescue = args.minsizeforcliprescue
+    options.min_base_call_quality = args.minbq
+    options.min_map_quality = args.minmq
+    options.remove_duplicates = _b(args.filterduplicates)
+    options.only_use_proper_pairs = _b(args.properpairs)
+    options.min_variant_qscore = args.minvq
+    options.min_variant_qscore_filter = args.vqfilter
+    options.min_frequency = args.minvf
+    options.min_frequency_filter = (args.vffilter if args.vffilter is not None
+                                    else args.minvf)
+    options.low_depth_filter = (args.mindpfilter if args.mindpfilter is not None
+                                else args.mindp)
+    options.min_coverage = args.mindp
+    options.max_q = args.maxvq
+    options.crush_nbhd = _b(args.crushvcf)
     out = run_scylla(args.vcf, args.bam, args.genome, args.out, options)
     log(f"wrote {out}")
     return 0

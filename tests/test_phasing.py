@@ -221,3 +221,108 @@ def test_chr21_neighborhood_chaining_and_phasing(tmp_path):
     # scylla-written reference rows carry SB -100.0000 like the reference
     refs = [l for l in lines if l[4] == "." and l[1] == "11085577"]
     assert refs and refs[0][9].endswith(":-100.0000")
+
+
+class TestSoftClipRescue:
+    """MNVSoftClipSupportFinder / MNVClippedReadComparator /
+    MNVSoftClipReadFilter semantics (VariantPhasing/Logic)."""
+
+    def _nbhd(self, mnv):
+        from pisces_tpu.phasing.scylla import Neighborhood
+        from pisces_tpu.phasing.models import VariantSite
+        nb = Neighborhood("chr1", [VariantSite(mnv.position, mnv.ref_allele,
+                                               mnv.alt_allele, "chr1")])
+        nb.accepted = [mnv]
+        return nb
+
+    def _mnv(self, pos, ref, alt, support=5, refsup=20):
+        from pisces_tpu.calling.alleles import CalledAllele
+        from pisces_tpu.domain.types import AlleleCategory
+        a = CalledAllele("chr1", pos, ref, alt, AlleleCategory.MNV)
+        a.allele_support = support
+        a.reference_support = refsup
+        a.total_coverage = 40
+        return a
+
+    def test_prefix_and_suffix_clip_support(self):
+        from pisces_tpu.ops import stats
+        from pisces_tpu.phasing.scylla import (
+            ScyllaOptions, supplement_softclip_support)
+        from util import make_batch
+
+        mnv = self._mnv(10, "TTT", "GGG")
+        nb = self._nbhd(mnv)
+        nb.set_range_of_interest(None)
+        # ref[0] != alt[0]: suffix-clipped reads must END at pos-1 = 9
+        # ref[-1] != alt[-1]: prefix-clipped reads must START at pos+len(ref)=13
+        batch = make_batch([
+            # suffix clip: 5M from 5..9, clip "GGGT" starts with alt => support
+            dict(pos1=5, cigar="5M4S", seq="AAAAAGGGT"),
+            # prefix clip: "TGGG" ends with alt, aligned start 13 => support
+            dict(pos1=13, cigar="4S5M", seq="TGGGCCCCC"),
+            # wrong anchored position => no
+            dict(pos1=12, cigar="4S5M", seq="TGGGCCCCC"),
+            # right position, wrong clipped bases => no
+            dict(pos1=5, cigar="5M4S", seq="AAAAAGCGT"),
+            # clip too short to contain the alt => no
+            dict(pos1=5, cigar="5M2S", seq="AAAAAGG"),
+        ])
+        opts = ScyllaOptions()
+        supplement_softclip_support(nb, batch, opts)
+        assert mnv.allele_support == 7
+        assert mnv.soft_clip_allele_support == 2
+        # q re-assigned with ReferenceSupport as the coverage argument
+        # (MNVSoftClipSupportFinder.cs.cs:78-80)
+        assert mnv.variant_qscore == int(stats.assign_poisson_qscore(
+            7, 20, opts.min_base_call_quality, opts.max_q))
+
+    def test_short_alleles_not_rescued_but_rescored(self):
+        from pisces_tpu.ops import stats
+        from pisces_tpu.phasing.scylla import (
+            ScyllaOptions, supplement_softclip_support)
+        from util import make_batch
+
+        mnv = self._mnv(10, "TT", "GG")  # len 4 < MinSizeForClipRescue 6
+        nb = self._nbhd(mnv)
+        nb.set_range_of_interest(None)
+        batch = make_batch([dict(pos1=5, cigar="5M4S", seq="AAAAAGGTT")])
+        opts = ScyllaOptions()
+        supplement_softclip_support(nb, batch, opts)
+        assert mnv.allele_support == 5
+        assert mnv.soft_clip_allele_support == 0
+        # but the q-score pass still rewrites every candidate
+        assert mnv.variant_qscore == int(stats.assign_poisson_qscore(
+            5, 20, opts.min_base_call_quality, opts.max_q))
+
+    def test_clipped_read_window_counting(self):
+        from pisces_tpu.phasing.scylla import (
+            Neighborhood, _count_clipped_in_neighborhood)
+        from pisces_tpu.phasing.models import VariantSite
+        from util import make_batch
+        import numpy as np
+
+        # SNV at 20: window = [19, 21] (end-before = pos-1, after = pos+1)
+        nb = Neighborhood("chr1", [VariantSite(20, "A", "T", "chr1")])
+        nb.set_range_of_interest(None)
+        assert (nb.soft_clip_end_before, nb.soft_clip_pos_after) == (19, 21)
+        batch = make_batch([
+            dict(pos1=19, cigar="3S5M", seq="AAAAAAAA"),   # start in window
+            dict(pos1=15, cigar="5M3S", seq="AAAAAAAA"),   # end 19 in window
+            dict(pos1=30, cigar="3S5M", seq="AAAAAAAA"),   # outside
+            dict(pos1=19, cigar="8M", seq="AAAAAAAA"),     # no clip
+        ])
+        pos1 = batch.pos.astype(np.int64) + 1
+        end1 = batch.end_pos.astype(np.int64) + 1
+        assert _count_clipped_in_neighborhood(nb, batch, pos1, end1) == 2
+
+    def test_indel_first_site_window(self):
+        from pisces_tpu.phasing.scylla import Neighborhood
+        from pisces_tpu.phasing.models import VariantSite
+
+        # deletion ACG>A at 10 then SNV at 30: end-before = 10 (indel), 
+        # after = 30 + 1
+        nb = Neighborhood("chr1", [VariantSite(10, "ACG", "A", "chr1"),
+                                   VariantSite(30, "C", "T", "chr1")])
+        nb.set_range_of_interest(None)
+        assert nb.soft_clip_end_before == 10
+        assert nb.soft_clip_pos_after == 31
