@@ -137,6 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("-windowsize", type=int, default=0,
       help="stream chromosomes in windows of this many bases via the .bai "
            "index (bounded memory for WGS-scale inputs); 0 = whole-chromosome")
+    a("-profiledir", default=None,
+      help="capture a JAX profiler trace (TensorBoard format) of the run "
+           "into this directory")
+    a("-metricsjson", default=None,
+      help="write stage timings / counters / device memory watermark as "
+           "JSON to this path at exit")
     return p
 
 

@@ -29,6 +29,7 @@ from pisces_tpu.pileup.candidates import find_candidates_batch
 from pisces_tpu.pileup.counts import build_counts_device, build_counts_host
 from pisces_tpu.pileup.events import build_base_events
 from pisces_tpu.utils.logger import log
+from pisces_tpu.utils.metrics import metrics
 
 
 def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
@@ -48,14 +49,17 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
                  or options.vcf_writing_parameters.report_rc_counts)
 
     ref_id = bam.header.ref_index(chrom.name)
-    try:
-        batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
-    except TypeError:  # native reader: no tag support yet; refetch via python
-        if need_tags:
-            from pisces_tpu.io.bam import BamReader as PyBamReader
-            batch = PyBamReader(bam.path).fetch(ref_id=ref_id, parse_tags=True)
-        else:
-            batch = bam.fetch(ref_id=ref_id)
+    with metrics.stage("bam_fetch"):
+        try:
+            batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
+        except TypeError:  # native reader: no tag support yet; refetch via python
+            if need_tags:
+                from pisces_tpu.io.bam import BamReader as PyBamReader
+                batch = PyBamReader(bam.path).fetch(ref_id=ref_id,
+                                                    parse_tags=True)
+            else:
+                batch = bam.fetch(ref_id=ref_id)
+    metrics.count("reads", batch.n)
     keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
                         bf.only_use_proper_pairs)
 
@@ -76,20 +80,23 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         from pisces_tpu.pileup.candidates_fast import (
             aggregate_native_mismatches, find_indel_candidates,
         )
-        indels = find_indel_candidates(
-            chrom.name, chrom.sequence, batch, keep,
-            bf.minimum_base_call_quality, options.tracked_anchor_size,
-            track_open_ended=options.collapse, base_dirs=base_dirs)
+        with metrics.stage("candidates"):
+            indels = find_indel_candidates(
+                chrom.name, chrom.sequence, batch, keep,
+                bf.minimum_base_call_quality, options.tracked_anchor_size,
+                track_open_ended=options.collapse, base_dirs=base_dirs)
         anchor_positions = candidate_anchor_positions(indels)
         if base_dirs is not None:
             base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
-        pc, mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
-                               options.tracked_anchor_size, 1000,
-                               anchor_positions, base_dirs,
-                               ref_codes=BASE_TO_ALLELE[chrom.sequence],
-                               track_open_ended=options.collapse)
-        candidates = aggregate_native_mismatches(
-            chrom.name, chrom.sequence, *mm) + indels
+        with metrics.stage("pileup"):
+            pc, mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
+                                   options.tracked_anchor_size, 1000,
+                                   anchor_positions, base_dirs,
+                                   ref_codes=BASE_TO_ALLELE[chrom.sequence],
+                                   track_open_ended=options.collapse)
+        with metrics.stage("candidates"):
+            candidates = aggregate_native_mismatches(
+                chrom.name, chrom.sequence, *mm) + indels
     else:
         candidates, _ = find_candidates_batch(
             chrom.name, chrom.sequence, batch, keep,
@@ -161,7 +168,9 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
                           read_summaries=read_summaries)
     if forced_alleles:
         caller.forced_alleles = {f for f in forced_alleles if f[0] == chrom.name}
-    by_position = caller.call(candidates, source, max_position=None)
+    with metrics.stage("allele_calling"):
+        by_position = caller.call(candidates, source, max_position=None)
+    metrics.count("candidates_scored", len(candidates))
 
     if options.vcf_writing_parameters.report_rc_counts and \
             batch.extra_tags is not None:
@@ -196,14 +205,19 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             max_gq=v.maximum_genotype_qscore,
             sb_acceptance=v.strand_bias_acceptance_criteria,
             no_call_filter=v.no_call_filter_threshold)
-        positions, scored = score_reference_positions(
-            pc, chrom.sequence, params, use_device=use_device)
+        with metrics.stage("gvcf_scoring"):
+            positions, scored = score_reference_positions(
+                pc, chrom.sequence, params, use_device=use_device)
+        metrics.count("loci_scored", len(positions))
+        if use_device:
+            metrics.device_watermark()
         if scored is not None:
             wcfg = VcfWriterConfig(options)
-            ref_lines = (positions, format_reference_lines(
-                chrom.name, positions, scored, wcfg,
-                v.low_depth_filter or v.minimum_coverage,
-                v.minimum_variant_qscore_filter))
+            with metrics.stage("gvcf_formatting"):
+                ref_lines = (positions, format_reference_lines(
+                    chrom.name, positions, scored, wcfg,
+                    v.low_depth_filter or v.minimum_coverage,
+                    v.minimum_variant_qscore_filter))
 
     out: List = []
     for pos in sorted(by_position):
@@ -452,6 +466,20 @@ def main(argv=None) -> int:
     use_device = args.backend == "jax"
 
     def execute() -> int:
+        from pisces_tpu.utils.metrics import metrics, profiler_trace
+        with profiler_trace(args.profiledir):
+            code = _execute_inner()
+        snap = metrics.report()
+        if snap["counters"].get("loci_scored"):
+            sec = snap["stages"].get("gvcf_scoring", {}).get("seconds", 0)
+            if sec:
+                log(f"loci scored/sec: "
+                    f"{snap['counters']['loci_scored'] / sec:,.0f}")
+        if args.metricsjson:
+            metrics.write_json(args.metricsjson)
+        return code
+
+    def _execute_inner() -> int:
         genome = Genome(args.genome)
         if _b(args.multiprocess) and not _b(args.insidesubprocess):
             from pisces_tpu.parallel.scheduler import (

@@ -70,14 +70,24 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
 
 
 def _score_host(counts, ref_codes, params):
-    """Host (f64) equivalent of the fused kernel, for parity testing."""
+    """Host (f64) equivalent of the fused kernel, for parity testing.
+
+    All outputs are pure functions of the per-position 6-tuple
+    (support_by_dir, coverage_by_dir); gVCF reference loci repeat a small
+    set of such tuples, so the expensive math (Poisson CDF, strand bias)
+    runs once per unique tuple and is scattered back by inverse index.
+    """
     from pisces_tpu.domain.types import COVERAGE_CONTRIBUTING_ALLELES
     from pisces_tpu.ops import stats
     cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
     c = counts.sum(axis=-1)
-    cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
+    all_cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
+    all_support_by_dir = c[np.arange(len(c)), ref_codes, :]
+    key = np.concatenate([all_support_by_dir, all_cov_by_dir], axis=1)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    support_by_dir = uniq[:, :3]
+    cov_by_dir = uniq[:, 3:]
     total_cov = cov_by_dir.sum(axis=-1)
-    support_by_dir = c[np.arange(len(c)), ref_codes, :]
     support = support_by_dir.sum(axis=-1)
     q = stats.compute_variant_qscores(support, total_cov,
                                       params.max_variant_qscore,
@@ -90,19 +100,20 @@ def _score_host(counts, ref_codes, params):
                                    params.noise_level, params.min_frequency,
                                    params.sb_acceptance, 1)
     gatk = np.where(support > 0, sb["gatk_bias_score"], 0.0)
-    gt = stats.somatic_genotypes(np.ones(len(c), bool), freq, freq, total_cov,
-                                 params.min_frequency_filter, params.min_depth)
+    gt = stats.somatic_genotypes(np.ones(len(uniq), bool), freq, freq,
+                                 total_cov, params.min_frequency_filter,
+                                 params.min_depth)
     gq = stats.somatic_genotype_qscores(gt, q, freq, total_cov,
                                         params.target_lod, params.min_gq,
                                         params.max_gq)
     return {
-        "total_coverage": total_cov,
-        "support": support,
-        "variant_qscore": q,
-        "frequency": freq,
-        "genotype": gt,
-        "gq": gq,
-        "sb_gatk": gatk,
+        "total_coverage": total_cov[inv],
+        "support": support[inv],
+        "variant_qscore": q[inv],
+        "frequency": freq[inv],
+        "genotype": gt[inv],
+        "gq": gq[inv],
+        "sb_gatk": gatk[inv],
     }
 
 

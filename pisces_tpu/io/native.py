@@ -75,7 +75,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
 def _as_array(ptr, n, dtype):
     if n == 0:
         return np.empty(0, dtype=dtype)
-    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+    # np.frombuffer over a from_address ctypes view + memcpy; avoids
+    # np.ctypeslib.as_array, whose per-call overhead dominates at this size
+    buf = (ptr._type_ * n).from_address(
+        ctypes.addressof(ptr.contents))
+    return np.frombuffer(buf, dtype=dtype, count=n).copy()
 
 
 class NativeBamReader:
