@@ -345,6 +345,105 @@ int bgzf_decompress(const uint8_t* data, int64_t n, uint8_t* out,
   return 0;
 }
 
+// Parallel BGZF compressor (the BamWriterMultithreaded counterpart,
+// reference Alignment.IO/BamWriterMultithreaded): deflates fixed 0xFF00-byte
+// uncompressed chunks across a thread pool; block file offsets follow from
+// the prefix sum of compressed sizes so callers can compute virtual offsets
+// analytically after the fact.
+static const size_t kBgzfChunk = 0xFF00;
+static const uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
+struct BgzfCompressed {
+  std::vector<uint8_t> data;        // concatenated blocks (incl. EOF block)
+  std::vector<int64_t> block_off;   // file offset of each data block
+};
+
+static bool deflate_chunk(const uint8_t* src, size_t n, int level,
+                          std::vector<uint8_t>* out) {
+  z_stream zs{};
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return false;
+  out->resize(deflateBound(&zs, n) + 26);
+  uint8_t* blk = out->data();
+  // 18-byte BGZF header; BSIZE patched below
+  static const uint8_t hdr[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                                  0,    0xff, 0x06, 0x00, 0x42, 0x43, 0x02, 0x00};
+  memcpy(blk, hdr, 16);
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)n;
+  zs.next_out = blk + 18;
+  zs.avail_out = (uInt)(out->size() - 26);
+  if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+    deflateEnd(&zs);
+    return false;
+  }
+  size_t clen = zs.total_out;
+  deflateEnd(&zs);
+  size_t bsize = clen + 26;
+  if (bsize - 1 > 0xFFFF) return false;
+  blk[16] = (uint8_t)((bsize - 1) & 0xFF);
+  blk[17] = (uint8_t)((bsize - 1) >> 8);
+  uint32_t crc = crc32(0, src, n);
+  uint8_t* tail = blk + 18 + clen;
+  memcpy(tail, &crc, 4);
+  uint32_t isize = (uint32_t)n;
+  memcpy(tail + 4, &isize, 4);
+  out->resize(bsize);
+  return true;
+}
+
+void* bgzf_compress(const uint8_t* data, int64_t n, int level, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  size_t nblk = (size_t)((n + kBgzfChunk - 1) / kBgzfChunk);
+  std::vector<std::vector<uint8_t>> parts(nblk);
+  std::vector<std::thread> threads;
+  std::vector<int> rc(n_threads, 0);
+  size_t per = (nblk + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    size_t lo = t * per, hi = std::min(nblk, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back([&, lo, hi, t]() {
+      for (size_t i = lo; i < hi; i++) {
+        size_t off = i * kBgzfChunk;
+        size_t len = std::min(kBgzfChunk, (size_t)n - off);
+        if (!deflate_chunk(data + off, len, level, &parts[i])) rc[t] = -1;
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int v : rc)
+    if (v != 0) return nullptr;
+  auto* res = new BgzfCompressed();
+  res->block_off.resize(nblk + 1);
+  int64_t total = 0;
+  for (size_t i = 0; i < nblk; i++) {
+    res->block_off[i] = total;
+    total += (int64_t)parts[i].size();
+  }
+  res->block_off[nblk] = total;
+  res->data.reserve(total + sizeof(kBgzfEof));
+  for (auto& p : parts) res->data.insert(res->data.end(), p.begin(), p.end());
+  res->data.insert(res->data.end(), kBgzfEof, kBgzfEof + sizeof(kBgzfEof));
+  return res;
+}
+
+int64_t bgzfc_data_len(void* h) {
+  return (int64_t)((BgzfCompressed*)h)->data.size();
+}
+const uint8_t* bgzfc_data(void* h) {
+  return ((BgzfCompressed*)h)->data.data();
+}
+int64_t bgzfc_n_blocks(void* h) {
+  return (int64_t)((BgzfCompressed*)h)->block_off.size() - 1;
+}
+const int64_t* bgzfc_block_off(void* h) {
+  return ((BgzfCompressed*)h)->block_off.data();
+}
+void bgzfc_free(void* h) { delete (BgzfCompressed*)h; }
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

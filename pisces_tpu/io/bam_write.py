@@ -117,24 +117,124 @@ class BamWriter:
     def write(self, sort: bool = True, index: bool = False) -> str:
         """Write the BAM (coordinate-sorted by default). With index=True a
         sibling .bai is built from record virtual offsets while writing
-        (reference BamWriter + BamIndex.CreateIndexFromBamFile analog)."""
+        (reference BamWriter + BamIndex.CreateIndexFromBamFile analog).
+
+        When the native module is available the uncompressed stream is
+        deflated across a thread pool (BamWriterMultithreaded counterpart,
+        Alignment.IO/BamWriterMultithreaded.cs); record virtual offsets are
+        derived analytically from the fixed 0xFF00-byte chunking, which is
+        identical to the streaming writer's, so both paths produce the same
+        bytes and the same .bai."""
         if sort:
             self.records.sort(key=lambda r: (r.ref_id, r.pos0))
         builder = None
         if index:
             from pisces_tpu.io.bai import BaiBuilder, write_bai
             builder = BaiBuilder(len(self.ref_names))
-        with open(self.path, "wb") as f:
-            w = bgzf.BgzfWriter(f)
-            w.write(self.header_bytes())
-            for r in self.records:
-                v0 = w.tell_virtual()
-                w.write(r.encode())
-                if builder is not None:
-                    builder.add(r.ref_id, r.pos0, r.ref_end0(),
-                                v0, w.tell_virtual(),
-                                mapped=not (r.flag & 0x4))
-            w.close()
+
+        if self._write_parallel(builder):
+            pass
+        else:
+            with open(self.path, "wb") as f:
+                w = bgzf.BgzfWriter(f)
+                w.write(self.header_bytes())
+                for r in self.records:
+                    v0 = w.tell_virtual()
+                    w.write(r.encode())
+                    if builder is not None:
+                        builder.add(r.ref_id, r.pos0, r.ref_end0(),
+                                    v0, w.tell_virtual(),
+                                    mapped=not (r.flag & 0x4))
+                w.close()
         if builder is not None:
             write_bai(builder.build(), self.path + ".bai")
         return self.path
+
+    def _write_parallel(self, builder) -> bool:
+        """Multithreaded BGZF path; returns False when the native library is
+        unavailable (caller falls back to the streaming writer)."""
+        try:
+            from pisces_tpu.io.native import bgzf_compress_parallel
+        except Exception:
+            return False
+        parts = [self.header_bytes()]
+        upos = [len(parts[0])]
+        for r in self.records:
+            enc = r.encode()
+            parts.append(enc)
+            upos.append(upos[-1] + len(enc))
+        raw = b"".join(parts)
+        res = bgzf_compress_parallel(raw)
+        if res is None:
+            return False
+        out, block_off = res
+        with open(self.path, "wb") as f:
+            f.write(out)
+        if builder is not None:
+            def voff(u: int) -> int:
+                b, within = divmod(u, 0xFF00)
+                return (int(block_off[b]) << 16) | within
+            for i, r in enumerate(self.records):
+                builder.add(r.ref_id, r.pos0, r.ref_end0(),
+                            voff(upos[i]), voff(upos[i + 1]),
+                            mapped=not (r.flag & 0x4))
+        return True
+
+
+def cat_bams(shard_paths: Sequence[str], out_path: str,
+             ref_names: Sequence[str], ref_lengths: Sequence[int],
+             extra_header_text: str = "", index: bool = True) -> str:
+    """samtools-cat analog (GeminiWorkflow.cs:62-101 merge step, done
+    natively): concatenate per-chromosome sorted BAM shards at the
+    record-byte level — records are never re-encoded — recompress the
+    stream with the parallel BGZF deflater, and rebuild the .bai from the
+    shard readers' columnar fields plus analytically-derived virtual
+    offsets. Shards must share the output's reference dictionary and be
+    coordinate-sorted, in genome order across the list."""
+    from pisces_tpu.io.bam import BamReader
+
+    w = BamWriter(out_path, ref_names, ref_lengths,
+                  extra_header_text=extra_header_text)
+    header = w.header_bytes()
+    parts = [header]
+    per_shard = []  # (batch, record_ustart[int64]) in output stream coords
+    upos = len(header)
+    for p in shard_paths:
+        r = BamReader(p)
+        offs = r._scan_record_offsets()
+        stream = r._data[r._records_start:]
+        parts.append(stream)
+        batch = r.fetch()
+        per_shard.append((batch, offs - r._records_start + upos))
+        upos += len(stream)
+    raw = b"".join(parts)
+
+    res = None
+    try:
+        from pisces_tpu.io.native import bgzf_compress_parallel
+        res = bgzf_compress_parallel(raw)
+    except Exception:
+        res = None
+    if res is None:
+        out, block_off = bgzf.compress_with_offsets(raw)
+    else:
+        out, block_off = res
+    with open(out_path, "wb") as f:
+        f.write(out)
+
+    if index:
+        from pisces_tpu.io.bai import BaiBuilder, write_bai
+        builder = BaiBuilder(len(ref_names))
+
+        def voff(u: int) -> int:
+            b, within = divmod(u, 0xFF00)
+            return (int(block_off[b]) << 16) | within
+
+        for batch, ustarts in per_shard:
+            for i in range(batch.n):
+                builder.add(int(batch.ref_id[i]), int(batch.pos[i]),
+                            int(batch.end_pos[i]) + 1,
+                            voff(int(ustarts[i])), voff(int(ustarts[i + 1])),
+                            mapped=not (int(batch.flag[i]) & 0x4))
+        write_bai(builder.build(), out_path + ".bai")
+    return out_path

@@ -104,6 +104,28 @@ class BgzfWriter:
         self._file_off += len(BGZF_EOF)
 
 
+def compress_with_offsets(data: bytes, level: int = 6):
+    """compress() plus the file offset of each 0xFF00-chunk block, so callers
+    can derive virtual offsets analytically (pure-Python fallback for the
+    native bgzf_compress_parallel)."""
+    import numpy as np
+    out = []
+    offsets = [0]
+    for i in range(0, len(data), 0xFF00):
+        chunk = data[i:i + 0xFF00]
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 26
+        block = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                 + struct.pack("<H", 6) + b"BC" + struct.pack("<HH", 2, bsize - 1)
+                 + cdata
+                 + struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        out.append(block)
+        offsets.append(offsets[-1] + len(block))
+    out.append(BGZF_EOF)
+    return b"".join(out), np.array(offsets, dtype=np.int64)
+
+
 def compress(data: bytes, level: int = 6) -> bytes:
     """Deflate into BGZF blocks (<=64KB payload each) + EOF marker."""
     out = []

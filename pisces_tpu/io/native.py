@@ -251,3 +251,54 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
             _as_array(lib.pileup_mm_dir(reader._h), n_mm, np.int8),
             _as_array(lib.pileup_mm_flags(reader._h), n_mm, np.int8))
     return pc, mismatches
+
+
+# ---------------------------------------------------------------------------
+# Parallel BGZF compression (BamWriterMultithreaded counterpart)
+# ---------------------------------------------------------------------------
+
+def _bind_bgzfc(lib) -> None:
+    if getattr(lib, "_bgzfc_bound", False):
+        return
+    lib.bgzf_compress.restype = ctypes.c_void_p
+    lib.bgzf_compress.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.bgzfc_data_len.restype = ctypes.c_int64
+    lib.bgzfc_data_len.argtypes = [ctypes.c_void_p]
+    lib.bgzfc_data.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.bgzfc_data.argtypes = [ctypes.c_void_p]
+    lib.bgzfc_n_blocks.restype = ctypes.c_int64
+    lib.bgzfc_n_blocks.argtypes = [ctypes.c_void_p]
+    lib.bgzfc_block_off.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.bgzfc_block_off.argtypes = [ctypes.c_void_p]
+    lib.bgzfc_free.argtypes = [ctypes.c_void_p]
+    lib._bgzfc_bound = True
+
+
+def bgzf_compress_parallel(data, level: int = 6, n_threads: int = 0):
+    """Compress a byte buffer into BGZF (fixed 0xFF00-byte uncompressed
+    chunks + EOF block) across threads. Returns (compressed_bytes,
+    block_file_offsets[int64]) where block i holds uncompressed bytes
+    [i*0xFF00, (i+1)*0xFF00); a record starting at uncompressed offset u has
+    virtual offset (block_file_offsets[u // 0xFF00] << 16) | (u % 0xFF00).
+    Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_bgzfc(lib)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf)
+    h = lib.bgzf_compress(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                          len(buf), level, n_threads)
+    if not h:
+        return None
+    try:
+        nb = lib.bgzfc_n_blocks(h)
+        out = _as_array(lib.bgzfc_data(h), lib.bgzfc_data_len(h),
+                        np.uint8).tobytes()
+        offs = _as_array(lib.bgzfc_block_off(h), nb + 1, np.int64)
+    finally:
+        lib.bgzfc_free(h)
+    return out, offs

@@ -267,29 +267,16 @@ def run_gemini_multi(bam_path: str, genome_dir: str,
             for k, v in stats.items():
                 total_stats[k] += v
 
-    # native merge in genome order (samtools cat analog), then index
-    merged = BamWriter(out_path, header.ref_names, header.ref_lengths,
-                       extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
+    # native merge in genome order (samtools cat analog): record bytes are
+    # concatenated verbatim — tags and all — recompressed in parallel, and
+    # the .bai rebuilt from analytic virtual offsets (io/bam_write.cat_bams)
+    from pisces_tpu.io.bam_write import cat_bams
+    cat_bams([shards[c] for c in chroms], out_path,
+             header.ref_names, header.ref_lengths,
+             extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
     for c in chroms:
-        shard_reader = BamReader(shards[c])
-        names = _read_names(shard_reader)
-        batch = shard_reader.fetch(parse_tags=True)
-        for i in range(batch.n):
-            s, e = batch.cigar_off[i], batch.cigar_off[i + 1]
-            qs, qe = batch.seq_off[i], batch.seq_off[i + 1]
-            cigar = list(zip(batch.cigar_ops[s:e].tolist(),
-                             batch.cigar_lens[s:e].tolist()))
-            seq = ALLELE_CHARS[batch.seq[qs:qe]].tobytes().decode()
-            tags = {}
-            if batch.xd_tags is not None and batch.xd_tags[i]:
-                tags["XD"] = batch.xd_tags[i]
-            merged.add(BamRecord(names[i], int(batch.ref_id[i]),
-                                 int(batch.pos[i]), int(batch.mapq[i]),
-                                 int(batch.flag[i]), cigar, seq,
-                                 list(batch.qual[qs:qe]), tags=tags))
         os.unlink(shards[c])
     os.rmdir(tmpdir)
-    merged.write(sort=True, index=True)
     log(f"gemini-multi: {dict(total_stats)} -> {out_path}")
     return out_path
 

@@ -57,3 +57,88 @@ def test_native_bgzf_roundtrip(tmp_path):
     rc = lib.bgzf_decompress(buf, n, out, size, 4)
     assert rc == 0
     assert bytes(out) == payload
+
+
+def test_parallel_bgzf_writer_matches_streaming(tmp_path):
+    """The multithreaded BGZF writer path (BamWriterMultithreaded
+    counterpart) produces byte-identical BAM + .bai to the streaming
+    writer."""
+    import numpy as np
+    from pisces_tpu.io.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    from pisces_tpu.io.bam_write import BamRecord, BamWriter, parse_cigar_string
+
+    rng = np.random.default_rng(7)
+    def build(path):
+        w = BamWriter(str(path), ["chr1", "chr2"], [100000, 50000])
+        cig = parse_cigar_string("50M")
+        for i in range(5000):
+            p = int(rng.integers(0, 90000))
+            seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 50))
+            w.add(BamRecord(f"r{i}", i % 2, p, 60, 0x10 if i & 1 else 0,
+                            cig, seq, [30] * 50))
+        return w
+
+    rng = np.random.default_rng(7)
+    w1 = build(tmp_path / "a.bam")
+    w1._write_parallel_disabled = True
+    # force streaming path by monkeypatching
+    orig = BamWriter._write_parallel
+    BamWriter._write_parallel = lambda self, b: False
+    try:
+        w1.write(sort=True, index=True)
+    finally:
+        BamWriter._write_parallel = orig
+    rng = np.random.default_rng(7)
+    w2 = build(tmp_path / "b.bam")
+    w2.write(sort=True, index=True)
+
+    a = open(tmp_path / "a.bam", "rb").read()
+    b = open(tmp_path / "b.bam", "rb").read()
+    assert a == b
+    assert (open(tmp_path / "a.bam.bai", "rb").read()
+            == open(tmp_path / "b.bam.bai", "rb").read())
+
+
+def test_cat_bams_merges_shards_byte_level(tmp_path):
+    """cat_bams (samtools-cat analog) concatenates shard record bytes
+    verbatim, and its rebuilt .bai serves indexed region queries."""
+    import numpy as np
+    from pisces_tpu.io.bam import BamReader
+    from pisces_tpu.io.bam_write import (
+        BamRecord, BamWriter, cat_bams, parse_cigar_string,
+    )
+
+    refs = (["chr1", "chr2"], [200000, 100000])
+    cig = parse_cigar_string("50M")
+    rng = np.random.default_rng(3)
+
+    def shard(path, ref_id, n, tags=None):
+        w = BamWriter(str(path), *refs)
+        for i in range(n):
+            p = int(rng.integers(0, 150000 if ref_id == 0 else 60000))
+            seq = "".join("ACGT"[b] for b in rng.integers(0, 4, 50))
+            w.add(BamRecord(f"c{ref_id}r{i}", ref_id, p, 60, 0, cig, seq,
+                            [30] * 50, tags=tags))
+        w.write(sort=True)
+        return str(path)
+
+    s1 = shard(tmp_path / "s1.bam", 0, 400, tags={"XD": "50F"})
+    s2 = shard(tmp_path / "s2.bam", 1, 300)
+    out = cat_bams([s1, s2], str(tmp_path / "m.bam"), *refs)
+
+    m = BamReader(out).fetch(parse_tags=True)
+    assert m.n == 700
+    assert np.all(m.ref_id[:400] == 0) and np.all(m.ref_id[400:] == 1)
+    # tags survive verbatim (the object-path merge used to re-encode)
+    assert m.xd_tags[0] == "50F"
+    # the rebuilt .bai answers region queries
+    lazy = BamReader(out, lazy=True)
+    region = lazy.fetch_region(0, 50000, 100000)
+    expect = np.count_nonzero((m.ref_id == 0) & (m.end_pos >= 50000)
+                              & (m.pos < 100000))
+    got = np.count_nonzero((region.end_pos >= 50000) & (region.pos < 100000)
+                           & (region.ref_id == 0))
+    assert got == expect and expect > 0
