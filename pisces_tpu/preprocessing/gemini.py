@@ -39,7 +39,7 @@ OP_S = 4
 class GeminiOptions:
     min_base_call_quality: int = 20
     min_map_quality: int = 1
-    indel_min_support: int = 2       # BasicIndelFilterer found-threshold
+    indel_min_support: int = 2       # MinRequiredIndelSupport
     indel_min_frequency: float = 0.01
     stitch_pairs: bool = True
     realign: bool = True
@@ -47,6 +47,15 @@ class GeminiOptions:
     classify: bool = True            # PairClassification-driven treatment
     trust_softclips: bool = False
     classifier_min_mapq: int = 10    # ReadPairClassifierAndExtractor default
+    # GeminiOptions.cs / StitcherOptions.cs counterparts
+    skip_and_remove_dups: bool = True     # GeminiOptions.cs:15
+    keep_both_side_softclips: bool = False
+    nify_disagreements: bool = False      # StitcherOptions.cs:17
+    max_read_length: int = 1024           # StitcherOptions.cs:24
+    chromosomes: tuple = ()               # Chromosomes= filter
+    num_softclips_messy: int = 8          # NumSoftclipsToBeConsideredMessy
+    num_mismatches_messy: int = 3         # NumMismatchesToBeConsideredMessy
+    messy_mapq: int = 30                  # MessyMapq
 
 
 def collect_indel_targets(chrom_name: str, refseq: np.ndarray,
@@ -84,8 +93,12 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                        read_names: Optional[List[str]] = None
                        ) -> Tuple[List[BamRecord], Dict[str, int]]:
     """Returns cleaned records + outcome counters."""
+    from pisces_tpu.preprocessing import classify as _classify
+    _classify.NM_MESSY = options.num_mismatches_messy
+    _classify.SOFTCLIPS_MESSY = options.num_softclips_messy
+    _classify.MESSY_MAPQ = options.messy_mapq
     keep = filter_batch(batch, options.min_map_quality,
-                        remove_duplicates=False)
+                        remove_duplicates=options.skip_and_remove_dups)
     stats = defaultdict(int)
     targets = collect_indel_targets(chrom_name, refseq, batch, keep, options) \
         if options.realign else []
@@ -152,7 +165,9 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                 (i2, p2, c2, s2, q2), (i1, p1, c1, s1, q1)
         r1_reverse = bool(batch.flag[i1] & FLAG_REVERSE)
         result = stitch_reads(p1, c1, s1, q1, p2, c2, s2, q2, r1_reverse,
-                              options.min_base_call_quality)
+                              options.min_base_call_quality,
+                              nify_disagreements=options.nify_disagreements,
+                              max_read_length=options.max_read_length)
         if result is not None:
             stats["stitched_pairs"] += 1
             stitched_members.update(members)
@@ -196,6 +211,8 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
     total_stats = defaultdict(int)
     for chrom_name in genome.chromosome_names:
         if chrom_name not in reader.header.ref_names:
+            continue
+        if options.chromosomes and chrom_name not in options.chromosomes:
             continue
         rid = reader.header.ref_index(chrom_name)
         batch = reader.fetch(rid)
@@ -253,7 +270,8 @@ def run_gemini_multi(bam_path: str, genome_dir: str,
     out_path = out_path or bam_path.replace(".bam", ".gemini.bam")
     genome = Genome(genome_dir)
     header = BamReader(bam_path).header
-    chroms = [c for c in genome.chromosome_names if c in header.ref_names]
+    chroms = [c for c in genome.chromosome_names if c in header.ref_names
+              and (not options.chromosomes or c in options.chromosomes)]
     tmpdir = tempfile.mkdtemp(prefix="gemini_multi_")
     jobs = [(bam_path, genome_dir, c, os.path.join(tmpdir, f"{c}.bam"),
              dataclasses.asdict(options)) for c in chroms]
@@ -309,21 +327,92 @@ def _names_for_batch(reader, ref_id: int, all_names: List[str]) -> List[str]:
 
 
 def main(argv=None) -> int:
+    """Gemini CLI: the reference flag surface
+    (GeminiApplicationOptionsParser / GeminiMultiApplicationOptionsParser)
+    for every option with a behavioral counterpart here, case-insensitive.
+    Flags tied to the reference's samtools/TPL-dataflow internals
+    (-Samtools, -ReadCacheSize, -NumConcurrentRegions, ...) are accepted and
+    ignored: this build merges/sorts/indexes natively and streams columnar
+    batches instead."""
+    from pisces_tpu.apps._pisces_main import _normalize
+
+    def _b(s) -> bool:
+        return str(s).strip().lower() in ("true", "1", "yes")
+
     p = argparse.ArgumentParser(prog="gemini-tpu",
                                 description="stitch + indel realignment")
-    p.add_argument("-bam", required=True)
-    p.add_argument("-g", "--genome", required=True)
-    p.add_argument("-o", "--out", default=None)
-    p.add_argument("-stitch", default="true")
-    p.add_argument("-realign", default="true")
-    p.add_argument("-multiprocess", default="false",
-                   help="GeminiMulti mode: one worker process per chromosome")
-    p.add_argument("-numprocesses", type=int, default=4)
-    args = p.parse_args(argv)
+    a = p.add_argument
+    a("-bam", required=True)
+    a("-g", "-genome", dest="genome", required=True)
+    a("-o", "-out", "-outfolder", dest="out", default=None)
+    a("-stitch", default="true")
+    a("-realign", default="true")
+    a("-stitchonly", default="false")
+    a("-realignonly", default="false")
+    a("-multiprocess", default="false",
+      help="GeminiMulti mode: one worker process per chromosome")
+    a("-numprocesses", type=int, default=4)
+    a("-maxnumthreads", type=int, default=4)
+    a("-chromosomes", default=None, help="comma-separated chromosome filter")
+    a("-minbasecallquality", type=int, default=20)
+    a("-minmapquality", type=int, default=1)
+    a("-minrequiredindelsupport", type=int, default=2)
+    a("-trustsoftclips", default="false")
+    a("-keepbothsidesoftclips", default="false")
+    a("-skipandremovedups", default="true")
+    a("-nifydisagreement", default="false")
+    a("-maxreadlength", type=int, default=1024)
+    a("-numsoftclipstobeconsideredmessy", type=int, default=8)
+    a("-nummismatchestobeconsideredmessy", type=int, default=3)
+    a("-messymapq", type=int, default=30)
+    a("-debug", default="false")
+    a("-lightdebug", default="false")
+    # accepted for command-line compatibility; no behavioral counterpart in
+    # the native/columnar architecture
+    for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
+                 "-readcachesize", "-numconcurrentregions", "-regionsize",
+                 "-binsize", "-keepunmerged", "-keepprobe",
+                 "-sortperchrom", "-indexperchrom", "-collectdepth",
+                 "-trackmismatches", "-logregionsandrealignments",
+                 "-categoriestorealign", "-categoriestosnowball",
+                 "-forcehighlikelihoodrealigners", "-avoidlikelysnvs",
+                 "-softclipunknownindels", "-remaskmessysoftclips",
+                 "-maskpartialinsertion", "-checksoftclipsformismatches",
+                 "-countnstowarddisagreeingbases", "-dontstitchrepeatoverlap",
+                 "-maxnumdisagreeingstitchedbases", "-stringtagstokeepfromr1",
+                 "-filterforproperpairs", "-filterpairlowmapq",
+                 "-filterpairunmapped", "-treatabnormalorientationasimproper",
+                 "-ignorereadsabovemaxlength", "-imperfectfreqthreshold",
+                 "-indelregionfreqthreshold", "-regiondepththreshold",
+                 "-messysitethreshold", "-messysitewidth",
+                 "-directionalmessthreshold", "-silencesuspiciousmdreads",
+                 "-silencedirectionalmessreads", "-silencemessymapmessreads",
+                 "-allowrescoringorigzero", "-pairawareeverything",
+                 "-recalculateusablesitesaftersnowball",
+                 "-requirepositiveoutcomeforsnowball", "-minpreferredanchor",
+                 "-minrequiredanchor", "-minpreferredsupport",
+                 "-minimumunanchoredinsertionlength"):
+        a(flag, default=None, help=argparse.SUPPRESS)
+    args = p.parse_args(_normalize(list(argv if argv is not None
+                                        else sys.argv[1:])))
     options = GeminiOptions()
-    options.stitch_pairs = args.stitch.lower() == "true"
-    options.realign = args.realign.lower() == "true"
-    if args.multiprocess.lower() == "true":
+    options.stitch_pairs = _b(args.stitch) and not _b(args.realignonly)
+    options.realign = _b(args.realign) and not _b(args.stitchonly)
+    options.min_base_call_quality = args.minbasecallquality
+    options.min_map_quality = args.minmapquality
+    options.indel_min_support = args.minrequiredindelsupport
+    options.trust_softclips = _b(args.trustsoftclips)
+    options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
+    options.skip_and_remove_dups = _b(args.skipandremovedups)
+    options.nify_disagreements = _b(args.nifydisagreement)
+    options.max_read_length = args.maxreadlength
+    options.num_softclips_messy = args.numsoftclipstobeconsideredmessy
+    options.num_mismatches_messy = args.nummismatchestobeconsideredmessy
+    options.messy_mapq = args.messymapq
+    if args.chromosomes:
+        options.chromosomes = tuple(
+            c for c in args.chromosomes.split(",") if c)
+    if _b(args.multiprocess):
         run_gemini_multi(args.bam, args.genome, args.out, options,
                          args.numprocesses)
     else:
