@@ -288,6 +288,7 @@ def recalibrate(vcf_path: str, out_dir: Optional[str] = None,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="adaptive-gt")
     p.add_argument("-vcf", required=True)
+    p.add_argument("-log", default=None, help="log file name base")
     p.add_argument("-o", "--out", default=None)
     p.add_argument("-models", default=None)
     p.add_argument("-backend", default="numpy", choices=["numpy", "jax"])

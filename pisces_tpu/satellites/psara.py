@@ -78,6 +78,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="psara",
                                 description="VCF geometric (ROI) filter")
     p.add_argument("-vcf", required=True)
+    p.add_argument("-log", default=None, help="log file name base")
     p.add_argument("-roi", "--RegionOfInterestPath", required=True, dest="roi")
     p.add_argument("-inclusionmodel", default="start",
                    choices=["start", "expanded"])

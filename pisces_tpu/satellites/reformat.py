@@ -107,6 +107,7 @@ def reformat(in_path: str, out_path: str, crush: bool) -> str:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="reformat-vcf")
     p.add_argument("-vcf", required=True)
+    p.add_argument("-log", default=None, help="log file name base")
     p.add_argument("-crush", default=None, help="true to crush, false to uncrush")
     p.add_argument("-o", "--out", default=None)
     args = p.parse_args(argv)

@@ -382,22 +382,40 @@ def _apply_recalibration(vcf_path: str, out_path: str, basic_rates,
 
 
 def main(argv=None) -> int:
+    """VQR CLI with the reference flag surface (VQROptionsParser.cs:
+    vcf/o/log, z, q, f, b, locicount, dobasicchecks,
+    doampliconpositionchecks, extentofedgeregion,
+    alignmentwarningthreshold), case-insensitive."""
+    from pisces_tpu.apps._pisces_main import _normalize
+
+    def _b(s) -> bool:
+        return str(s).strip().lower() in ("true", "1", "yes")
+
     p = argparse.ArgumentParser(prog="vqr",
                                 description="variant quality recalibration")
     p.add_argument("-vcf", required=True)
-    p.add_argument("-o", "--out", default=None)
-    p.add_argument("-z", "--ZFactor", type=float, default=2.0)
-    p.add_argument("-maxqscore", type=int, default=100)
-    p.add_argument("-f", "--filterQScore", type=int, default=30)
-    p.add_argument("-b", "--baseQNoise", type=int, default=20)
-    p.add_argument("-doedgecounts", default="false")
+    p.add_argument("-o", "-out", "-outfolder", dest="out", default=None)
+    p.add_argument("-log", default=None)
+    p.add_argument("-z", "-zfactor", dest="zfactor", type=float, default=2.0)
+    p.add_argument("-q", "-maxqscore", dest="maxqscore", type=int, default=100)
+    p.add_argument("-f", "-filterqscore", dest="filterqscore", type=int,
+                   default=30)
+    p.add_argument("-b", "-baseqnoise", dest="baseqnoise", type=int,
+                   default=20)
+    p.add_argument("-dobasicchecks", default="true")
+    p.add_argument("-doampliconpositionchecks", "-doedgecounts",
+                   dest="doedgechecks", default="false")
     p.add_argument("-extentofedgeregion", type=int, default=4)
     p.add_argument("-locicount", type=int, default=-1)
-    args = p.parse_args(argv)
-    recalibrate_vcf(args.vcf, args.out, args.ZFactor, args.maxqscore,
-                    args.filterQScore, args.baseQNoise,
-                    do_edge=args.doedgecounts.lower() == "true",
-                    extent=args.extentofedgeregion, loci_count=args.locicount)
+    p.add_argument("-alignmentwarningthreshold", type=float, default=10.0)
+    args = p.parse_args(_normalize(list(argv if argv is not None
+                                        else sys.argv[1:])))
+    recalibrate_vcf(args.vcf, args.out, args.zfactor, args.maxqscore,
+                    args.filterqscore, args.baseqnoise,
+                    do_basic=_b(args.dobasicchecks),
+                    do_edge=_b(args.doedgechecks),
+                    extent=args.extentofedgeregion, loci_count=args.locicount,
+                    align_warn_threshold=args.alignmentwarningthreshold)
     return 0
 
 
