@@ -59,10 +59,29 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
 
     if use_device:
         import jax
-        from pisces_tpu.ops.jax_scoring import score_reference_loci
-        out = score_reference_loci(jax.device_put(counts.astype(np.int32)),
-                                   jax.device_put(ref_codes), params)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        from pisces_tpu.domain.types import COVERAGE_CONTRIBUTING_ALLELES
+        from pisces_tpu.ops.jax_scoring import score_reference_tuples
+        # dedup to unique (support_by_dir, cov_by_dir) tuples on host:
+        # device scores U << L rows and the host scatters back, shrinking
+        # both device work and device->host readback
+        cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
+        c = counts.sum(axis=-1)
+        all_cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
+        all_support_by_dir = c[np.arange(len(c)), ref_codes, :]
+        key = np.concatenate([all_support_by_dir, all_cov_by_dir], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        u = len(uniq)
+        # pad to a power-of-two tile so XLA compiles one kernel per size class
+        upad = max(128, 1 << (u - 1).bit_length())
+        sup_p = np.zeros((upad, 3), np.int32)
+        cov_p = np.zeros((upad, 3), np.int32)
+        sup_p[:u] = uniq[:, :3]
+        cov_p[:u] = uniq[:, 3:]
+        out_u = score_reference_tuples(jax.device_put(sup_p),
+                                       jax.device_put(cov_p), params)
+        keep_keys = ("total_coverage", "support", "variant_qscore",
+                     "frequency", "genotype", "gq", "sb_gatk")
+        out = {k: np.asarray(out_u[k])[:u][inv] for k in keep_keys}
     else:
         out = _score_host(counts, ref_codes, params)
     out["ref_base"] = refseq[positions - 1]

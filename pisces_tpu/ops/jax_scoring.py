@@ -178,26 +178,19 @@ def somatic_gq(genotype, variant_qscore, frequency, total_coverage,
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def score_reference_loci(counts, ref_code, params: ScoringParams):
-    """Fused gVCF reference-locus scoring over a padded tile.
+def score_reference_tuples(support_by_dir, cov_by_dir, params: ScoringParams):
+    """Fused gVCF reference scoring from per-locus direction tuples.
 
-    Args:
-      counts: int32 [L, 6, 3, K] pileup counts (anchor axis K intact)
-      ref_code: int8/int32 [L] reference-base allele codes
-      params: static ScoringParams
-    Returns dict of [L] arrays: total_coverage, support, num_no_calls,
-      variant_qscore, genotype, gq, sb_gatk, filter_bits, coverage_by_dir,
-      support_by_dir.
+    Every output of the reference-locus kernel is a pure function of the
+    (support_by_dir, coverage_by_dir) 6-tuple, so callers can deduplicate
+    loci to unique tuples on the host, score U << L rows here, and scatter
+    back — shrinking both device FLOPs and device->host readback
+    (fast_gvcf.score_reference_positions does exactly this).
     """
-    c = counts.sum(axis=-1)  # [L, 6, 3]
-    cov_alleles = jnp.array(_COV_ALLELES)
-    cov_by_dir = c[:, cov_alleles, :].sum(axis=1)  # [L, 3]
-    total_cov = cov_by_dir.sum(axis=-1)            # [L]
-    l_idx = jnp.arange(c.shape[0])
-    support_by_dir = c[l_idx, ref_code.astype(jnp.int32), :]  # [L, 3]
-    is_acgt_or_del = jnp.isin(ref_code.astype(jnp.int32), cov_alleles)
+    support_by_dir = support_by_dir.astype(jnp.int32)
+    cov_by_dir = cov_by_dir.astype(jnp.int32)
+    total_cov = cov_by_dir.sum(axis=-1)
     support = support_by_dir.sum(axis=-1)
-    num_no_calls = c[:, int(AlleleType.N), :].sum(axis=-1)
 
     q = poisson_qscores(support, total_cov, params.noise_level,
                         params.max_variant_qscore)
@@ -231,7 +224,6 @@ def score_reference_loci(counts, ref_code, params: ScoringParams):
         "support": support,
         "support_by_dir": support_by_dir,
         "coverage_by_dir": cov_by_dir,
-        "num_no_calls": num_no_calls,
         "frequency": freq,
         "variant_qscore": q,
         "genotype": gt,
@@ -239,6 +231,28 @@ def score_reference_loci(counts, ref_code, params: ScoringParams):
         "sb_gatk": sb_gatk,
         "filter_bits": filter_bits,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def score_reference_loci(counts, ref_code, params: ScoringParams):
+    """Fused gVCF reference-locus scoring over a padded tile.
+
+    Args:
+      counts: int32 [L, 6, 3, K] pileup counts (anchor axis K intact)
+      ref_code: int8/int32 [L] reference-base allele codes
+      params: static ScoringParams
+    Returns dict of [L] arrays: total_coverage, support, num_no_calls,
+      variant_qscore, genotype, gq, sb_gatk, filter_bits, coverage_by_dir,
+      support_by_dir.
+    """
+    c = counts.sum(axis=-1)  # [L, 6, 3]
+    cov_alleles = jnp.array(_COV_ALLELES)
+    cov_by_dir = c[:, cov_alleles, :].sum(axis=1)  # [L, 3]
+    l_idx = jnp.arange(c.shape[0])
+    support_by_dir = c[l_idx, ref_code.astype(jnp.int32), :]  # [L, 3]
+    out = dict(score_reference_tuples(support_by_dir, cov_by_dir, params))
+    out["num_no_calls"] = c[:, int(AlleleType.N), :].sum(axis=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
