@@ -34,9 +34,18 @@ _GT_STR = {
 
 def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
                               params, use_device: bool = True):
-    """Run the fused scoring kernel over all touched positions with
-    total support > 0. Returns (positions[int64], outputs dict)."""
-    from pisces_tpu.domain.types import BASE_TO_ALLELE
+    """Score all touched positions with total support > 0.
+
+    Returns (positions[int64], scored) where scored holds UNIQUE-tuple
+    outputs plus the per-position inverse index: every scoring output is a
+    pure function of the (support_by_dir, coverage_by_dir) 6-tuple, so the
+    expensive math runs once per unique tuple (U << L for gVCF reference
+    loci) and line formatting memoizes per unique tuple too. The tuples
+    come from the native pileup when available (pc.pos_tuples, computed in
+    C++ next to the count scatter) so the dense [L,6,3] tensor is never
+    re-reduced in Python.
+    """
+    from pisces_tpu.domain.types import BASE_TO_ALLELE, COVERAGE_CONTRIBUTING_ALLELES
 
     nb = len(pc.block_keys)
     if nb == 0:
@@ -44,32 +53,37 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
     block_size = pc.block_size
     starts = (pc.block_keys - 1) * block_size + 1
     positions = (starts[:, None] + np.arange(block_size)[None, :]).reshape(-1)
-    # totals with a singleton anchor axis: the fused kernel's anchor-sum
-    # reduction is then a no-op
-    counts = pc.counts_t.reshape(nb * block_size,
-                                 *pc.counts_t.shape[2:])[..., None]
-    total_support = counts.sum(axis=(1, 2, 3))
     in_ref = positions <= len(refseq)
-    sel = (total_support > 0) & in_ref
-    positions = positions[sel]
-    counts = counts[sel]
-    if len(positions) == 0:
-        return positions, None
-    ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
+
+    if pc.pos_tuples is not None:
+        tup = pc.pos_tuples
+        total_support = tup[:, 3:7].sum(axis=1)  # cov(3) + N total
+        sel = (total_support > 0) & in_ref
+        tup = tup[sel]
+        all_support_by_dir = tup[:, :3]
+        all_cov_by_dir = tup[:, 3:6]
+        positions = positions[sel]
+        if len(positions) == 0:
+            return positions, None
+    else:
+        counts = pc.counts_t.reshape(nb * block_size,
+                                     *pc.counts_t.shape[2:])
+        total_support = counts.sum(axis=(1, 2))
+        sel = (total_support > 0) & in_ref
+        positions = positions[sel]
+        counts = counts[sel]
+        if len(positions) == 0:
+            return positions, None
+        ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
+        cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
+        all_cov_by_dir = counts[:, cov_alleles, :].sum(axis=1)
+        all_support_by_dir = counts[np.arange(len(counts)), ref_codes, :]
+
+    uniq, inv = _unique_tuples(all_support_by_dir, all_cov_by_dir)
 
     if use_device:
         import jax
-        from pisces_tpu.domain.types import COVERAGE_CONTRIBUTING_ALLELES
         from pisces_tpu.ops.jax_scoring import score_reference_tuples
-        # dedup to unique (support_by_dir, cov_by_dir) tuples on host:
-        # device scores U << L rows and the host scatters back, shrinking
-        # both device work and device->host readback
-        cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
-        c = counts.sum(axis=-1)
-        all_cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
-        all_support_by_dir = c[np.arange(len(c)), ref_codes, :]
-        key = np.concatenate([all_support_by_dir, all_cov_by_dir], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
         u = len(uniq)
         # pad to a power-of-two tile so XLA compiles one kernel per size class
         upad = max(128, 1 << (u - 1).bit_length())
@@ -81,31 +95,37 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
                                        jax.device_put(cov_p), params)
         keep_keys = ("total_coverage", "support", "variant_qscore",
                      "frequency", "genotype", "gq", "sb_gatk")
-        out = {k: np.asarray(out_u[k])[:u][inv] for k in keep_keys}
+        out = {k: np.asarray(out_u[k])[:u] for k in keep_keys}
     else:
-        out = _score_host(counts, ref_codes, params)
+        out = _score_host_tuples(uniq[:, :3], uniq[:, 3:], params)
+    out["inv"] = inv
     out["ref_base"] = refseq[positions - 1]
     return positions, out
 
 
-def _score_host(counts, ref_codes, params):
-    """Host (f64) equivalent of the fused kernel, for parity testing.
+def _unique_tuples(support_by_dir, cov_by_dir):
+    """np.unique over the per-locus 6-tuples, packed into one int64 when
+    values fit in 10 bits (the common case): a 1-D unique is ~20x faster
+    than unique(axis=0)'s void-dtype row sort."""
+    key = np.concatenate([support_by_dir, cov_by_dir], axis=1)
+    hi = int(key.max(initial=0))
+    if 0 <= int(key.min(initial=0)) and hi < (1 << 10):
+        packed = np.zeros(len(key), dtype=np.int64)
+        for j in range(6):
+            packed = (packed << 10) | key[:, j].astype(np.int64)
+        u, inv = np.unique(packed, return_inverse=True)
+        uniq = np.empty((len(u), 6), dtype=np.int64)
+        for j in range(5, -1, -1):
+            uniq[:, j] = u & 0x3FF
+            u = u >> 10
+        return uniq, inv
+    return np.unique(key, axis=0, return_inverse=True)
 
-    All outputs are pure functions of the per-position 6-tuple
-    (support_by_dir, coverage_by_dir); gVCF reference loci repeat a small
-    set of such tuples, so the expensive math (Poisson CDF, strand bias)
-    runs once per unique tuple and is scattered back by inverse index.
-    """
-    from pisces_tpu.domain.types import COVERAGE_CONTRIBUTING_ALLELES
+
+def _score_host_tuples(support_by_dir, cov_by_dir, params):
+    """Host (f64) twin of ops/jax_scoring.score_reference_tuples, for
+    bit-parity with the reference math."""
     from pisces_tpu.ops import stats
-    cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
-    c = counts.sum(axis=-1)
-    all_cov_by_dir = c[:, cov_alleles, :].sum(axis=1)
-    all_support_by_dir = c[np.arange(len(c)), ref_codes, :]
-    key = np.concatenate([all_support_by_dir, all_cov_by_dir], axis=1)
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
-    support_by_dir = uniq[:, :3]
-    cov_by_dir = uniq[:, 3:]
     total_cov = cov_by_dir.sum(axis=-1)
     support = support_by_dir.sum(axis=-1)
     q = stats.compute_variant_qscores(support, total_cov,
@@ -119,20 +139,20 @@ def _score_host(counts, ref_codes, params):
                                    params.noise_level, params.min_frequency,
                                    params.sb_acceptance, 1)
     gatk = np.where(support > 0, sb["gatk_bias_score"], 0.0)
-    gt = stats.somatic_genotypes(np.ones(len(uniq), bool), freq, freq,
+    gt = stats.somatic_genotypes(np.ones(len(total_cov), bool), freq, freq,
                                  total_cov, params.min_frequency_filter,
                                  params.min_depth)
     gq = stats.somatic_genotype_qscores(gt, q, freq, total_cov,
                                         params.target_lod, params.min_gq,
                                         params.max_gq)
     return {
-        "total_coverage": total_cov[inv],
-        "support": support[inv],
-        "variant_qscore": q[inv],
-        "frequency": freq[inv],
-        "genotype": gt[inv],
-        "gq": gq[inv],
-        "sb_gatk": gatk[inv],
+        "total_coverage": total_cov,
+        "support": support,
+        "variant_qscore": q,
+        "frequency": freq,
+        "genotype": gt,
+        "gq": gq,
+        "sb_gatk": gatk,
     }
 
 
@@ -141,7 +161,11 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
                            low_depth_filter: int,
                            qscore_filter: int) -> List[str]:
     """Columnar VCF line formatting for reference loci (uncrushed mode,
-    FORMAT GT:GQ:AD:DP:VF[:NL:SB])."""
+    FORMAT GT:GQ:AD:DP:VF[:NL:SB]).
+
+    The QUAL/FILTER/INFO/FORMAT tail of each line is a pure function of the
+    unique scoring tuple, so it is rendered once per unique tuple and each line
+    is just chrom + pos + ref_base + the memoized tail."""
     n = len(positions)
     if n == 0:
         return []
@@ -151,68 +175,47 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
     gq = out["gq"]
     gt = out["genotype"]
     gatk = np.clip(out["sb_gatk"], -100.0, 0.0)
+    inv = out["inv"]
     ref_base = out["ref_base"]
     freq_digits = wcfg.freq_decimals
     include_sb = wcfg.should_output_strand_bias_and_noise_level
     nl = wcfg.estimated_base_call_quality
 
-    # FILTER column
+    # per-unique FILTER
     low_dp = total < low_depth_filter
     low_q = (q < qscore_filter) & (total != 0)
+    q_filter_tag = f"q{qscore_filter}"
+    filt_lut = ["PASS", q_filter_tag, "LowDP", f"LowDP;{q_filter_tag}"]
+    filt_code = (low_dp.astype(np.int8) << 1) | low_q.astype(np.int8)
 
-    # VF for refs: 1 - freq (0 when no coverage); freq = support/total in f32
+    # per-unique VF string: 1 - freq (0 when no coverage), f32 semantics
     with np.errstate(invalid="ignore"):
         vf = np.where(total == 0, 0.0,
                       1.0 - np.minimum(
                           support.astype(np.float32)
                           / np.maximum(total, 1).astype(np.float32), 1.0))
 
-    # memoized formatting: VF/SB values repeat heavily (ratios of small ints)
-    vf_memo: Dict[float, str] = {}
-    sb_memo: Dict[float, str] = {}
-
-    def fmt_vf(x: float) -> str:
-        s = vf_memo.get(x)
-        if s is None:
-            s = dotnet_format(x, freq_digits)
-            vf_memo[x] = s
-        return s
-
-    def fmt_sb(x: float) -> str:
-        s = sb_memo.get(x)
-        if s is None:
-            s = dotnet_format(x, 4)
-            sb_memo[x] = s
-        return s
-
-    q_filter_tag = f"q{qscore_filter}"
-    filt_lut = ["PASS", q_filter_tag, "LowDP", f"LowDP;{q_filter_tag}"]
-    filt_code = (low_dp.astype(np.int8) << 1) | low_q.astype(np.int8)
-    gt_lut = {k: v for k, v in _GT_STR.items()}
+    u = len(total)
+    tails = [""] * u
+    for i in range(u):
+        gt_s = _GT_STR.get(int(gt[i]), "./.")
+        vf_s = dotnet_format(float(vf[i]), freq_digits)
+        if include_sb:
+            sb_s = dotnet_format(float(gatk[i]), 4)
+            tails[i] = (f"\t.\t{q[i]}\t{filt_lut[filt_code[i]]}\t"
+                        f"DP={total[i]}\tGT:GQ:AD:DP:VF:NL:SB\t"
+                        f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}:"
+                        f"{nl}:{sb_s}")
+        else:
+            tails[i] = (f"\t.\t{q[i]}\t{filt_lut[filt_code[i]]}\t"
+                        f"DP={total[i]}\tGT:GQ:AD:DP:VF\t"
+                        f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}")
 
     pos_l = positions.tolist()
-    q_l = q.tolist()
-    gq_l = gq.tolist()
-    sup_l = support.tolist()
-    tot_l = total.tolist()
-    gt_l = gt.tolist()
-    vf_l = vf.tolist()
-    gatk_l = gatk.tolist()
-    fc_l = filt_code.tolist()
-    base_l = [chr(b) for b in ref_base.tolist()]
-
-    lines: List[str] = []
-    append = lines.append
-    if include_sb:
-        for i in range(n):
-            append(f"{chrom}\t{pos_l[i]}\t.\t{base_l[i]}\t.\t{q_l[i]}\t"
-                   f"{filt_lut[fc_l[i]]}\tDP={tot_l[i]}\tGT:GQ:AD:DP:VF:NL:SB\t"
-                   f"{gt_lut.get(gt_l[i], './.')}:{gq_l[i]}:{sup_l[i]}:"
-                   f"{tot_l[i]}:{fmt_vf(vf_l[i])}:{nl}:{fmt_sb(gatk_l[i])}")
-    else:
-        for i in range(n):
-            append(f"{chrom}\t{pos_l[i]}\t.\t{base_l[i]}\t.\t{q_l[i]}\t"
-                   f"{filt_lut[fc_l[i]]}\tDP={tot_l[i]}\tGT:GQ:AD:DP:VF\t"
-                   f"{gt_lut.get(gt_l[i], './.')}:{gq_l[i]}:{sup_l[i]}:"
-                   f"{tot_l[i]}:{fmt_vf(vf_l[i])}")
+    inv_l = inv.tolist()
+    base_l = ref_base.tobytes().decode("latin-1")
+    prefix = chrom + "\t"
+    lines = [None] * n
+    for i in range(n):
+        lines[i] = f"{prefix}{pos_l[i]}\t.\t{base_l[i]}{tails[inv_l[i]]}"
     return lines

@@ -468,6 +468,10 @@ struct PileupResult {
   std::vector<int8_t> mm_alt;
   std::vector<int8_t> mm_dir;
   std::vector<int8_t> mm_flags;  // bit0 openR, bit1 openL, bit2 well-anchored
+  // per-position scoring tuples (when ref_codes given): 8 int32 per row
+  // [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0] — everything the
+  // gVCF reference scorer needs, so Python never re-reduces the dense tensor
+  std::vector<int32_t> pos_tuples;
 };
 
 PileupResult* g_pileup = nullptr;
@@ -696,6 +700,29 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
       }
     }
   }
+
+  // per-position gVCF scoring tuples (sup/cov by direction + N total)
+  if (ref_codes) {
+    res.pos_tuples.assign(nb * block_size * 8, 0);
+    for (int64_t slot = 0; slot < nb; slot++) {
+      int64_t base_pos = (keys[slot] - 1) * block_size;  // 0-based
+      for (int64_t off = 0; off < block_size; off++) {
+        int64_t gpos0 = base_pos + off;
+        const int32_t* cnt = &res.counts_t[(slot * block_size + off) * 18];
+        int32_t* out = &res.pos_tuples[(slot * block_size + off) * 8];
+        int ref_allele = (gpos0 < ref_len) ? ref_codes[gpos0] : -1;
+        for (int d = 0; d < 3; d++) {
+          if (ref_allele >= 0) out[d] = cnt[ref_allele * 3 + d];
+          // coverage alleles: A,G,C,T (0-3) + deletion (5); N (4) excluded
+          out[3 + d] = cnt[0 * 3 + d] + cnt[1 * 3 + d] + cnt[2 * 3 + d] +
+                       cnt[3 * 3 + d] + cnt[5 * 3 + d];
+          out[6] += cnt[4 * 3 + d];
+        }
+      }
+    }
+  } else {
+    res.pos_tuples.clear();
+  }
   return nb;
 }
 
@@ -713,5 +740,9 @@ const int32_t* pileup_anchored_counts(void*) {
 const double* pileup_anchored_quals(void*) {
   return g_pileup->anchored_quals.data();
 }
+int64_t pileup_has_pos_tuples(void*) {
+  return (int64_t)g_pileup->pos_tuples.size();
+}
+const int32_t* pileup_pos_tuples(void*) { return g_pileup->pos_tuples.data(); }
 
 }  // extern "C"

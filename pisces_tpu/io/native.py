@@ -73,13 +73,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def _as_array(ptr, n, dtype):
+    """Copy a C buffer into a fresh ndarray with one memcpy.
+
+    The requested dtype must have the same itemsize as the pointer's
+    element type (guaranteed by the matching restype declarations)."""
     if n == 0:
         return np.empty(0, dtype=dtype)
-    # np.frombuffer over a from_address ctypes view + memcpy; avoids
-    # np.ctypeslib.as_array, whose per-call overhead dominates at this size
-    buf = (ptr._type_ * n).from_address(
+    out = np.empty(n, dtype=dtype)
+    ctypes.memmove(out.ctypes.data, ctypes.addressof(ptr.contents), out.nbytes)
+    return out
+
+
+def _as_view(ptr, n, dtype):
+    """Zero-copy read-only ndarray view over a C buffer.
+
+    No pages are touched and nothing is allocated — essential on hosts
+    where page faults are kernel-bypass-expensive (sandboxed VMs: ~0.1 ms
+    per faulted page makes a 60 MB copy cost seconds). The view is valid
+    until the owning handle's next producing call (bam_decode /
+    bam_pileup*) or bam_close; callers consume it before either."""
+    if n == 0:
+        return np.empty(0, dtype=dtype)
+    dtype = np.dtype(dtype)
+    buf = (ctypes.c_char * (n * dtype.itemsize)).from_address(
         ctypes.addressof(ptr.contents))
-    return np.frombuffer(buf, dtype=dtype, count=n).copy()
+    arr = np.frombuffer(buf, dtype=dtype, count=n)
+    arr.flags.writeable = False
+    return arr
 
 
 class NativeBamReader:
@@ -187,10 +207,13 @@ def _bind_pileup(lib):
                      ("pileup_counts_t", ctypes.c_int32),
                      ("pileup_qual_t", ctypes.c_double),
                      ("pileup_anchored_counts", ctypes.c_int32),
-                     ("pileup_anchored_quals", ctypes.c_double)]:
+                     ("pileup_anchored_quals", ctypes.c_double),
+                     ("pileup_pos_tuples", ctypes.c_int32)]:
         fn = getattr(lib, name)
         fn.restype = ctypes.POINTER(ct)
         fn.argtypes = [ctypes.c_void_p]
+    lib.pileup_has_pos_tuples.restype = ctypes.c_int64
+    lib.pileup_has_pos_tuples.argtypes = [ctypes.c_void_p]
     lib._pileup_bound = True
 
 
@@ -231,10 +254,13 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
     shape_t = (nb, block_size, NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES)
     block_keys = _as_array(lib.pileup_block_keys(reader._h), nb, np.int64)
     n_t = nb * block_size * 18
-    counts_t = _as_array(lib.pileup_counts_t(reader._h), n_t,
-                         np.int32).reshape(shape_t)
-    qual_t = _as_array(lib.pileup_qual_t(reader._h), n_t,
-                       np.float64).reshape(shape_t)
+    # zero-copy views: the dense tensors are tens of MB and consumed before
+    # the handle's next pileup call; copying them costs seconds on
+    # fault-expensive hosts (see _as_view)
+    counts_t = _as_view(lib.pileup_counts_t(reader._h), n_t,
+                        np.int32).reshape(shape_t)
+    qual_t = _as_view(lib.pileup_qual_t(reader._h), n_t,
+                      np.float64).reshape(shape_t)
     n_a = len(ap_c) * 18 * k
     ac = _as_array(lib.pileup_anchored_counts(reader._h), n_a, np.int32)\
         .reshape(len(ap_c), NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES, k)
@@ -242,6 +268,10 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
         .reshape(len(ap_c), NUM_ALLELE_TYPES, NUM_DIRECTION_TYPES, k)
     pc = PileupCounts(block_keys, block_size, anchor_size, counts_t, qual_t,
                       ap_c, ac, aq)
+    if lib.pileup_has_pos_tuples(reader._h):
+        pc.pos_tuples = _as_view(lib.pileup_pos_tuples(reader._h),
+                                 nb * block_size * 8,
+                                 np.int32).reshape(nb * block_size, 8)
     mismatches = None
     if ref_codes is not None:
         n_mm = int(lib.pileup_n_mismatches(reader._h))

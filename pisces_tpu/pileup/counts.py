@@ -44,6 +44,9 @@ class PileupCounts:
     anchored_positions: np.ndarray  # int64 [K] sorted 1-based positions
     anchored_counts: np.ndarray     # int32 [K, 6, 3, 2A+1]
     anchored_quals: np.ndarray      # float64 [K, 6, 3, 2A+1]
+    # optional native fast path: int32 [NB*B, 8] per-position scoring tuples
+    # [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0]
+    pos_tuples: Optional[np.ndarray] = None
 
     def block_slot(self, pos) -> np.ndarray:
         keys = (np.asarray(pos, dtype=np.int64) + self.block_size - 1) // self.block_size

@@ -415,6 +415,8 @@ def main(argv=None) -> int:
                    help="comma separated pair: a.vcf,b.vcf or [a.vcf,b.vcf]")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-consensus", default="true")
+    p.add_argument("-debug", default="false")
+    p.add_argument("-log", default=None, help="log file name base")
     args = p.parse_args(argv)
     files = args.input_files.strip("[]").split(",")
     do_pairwise_venn(files[0].strip(), files[1].strip(), args.out,
