@@ -142,3 +142,41 @@ def test_cat_bams_merges_shards_byte_level(tmp_path):
     got = np.count_nonzero((region.end_pos >= 50000) & (region.pos < 100000)
                            & (region.ref_id == 0))
     assert got == expect and expect > 0
+
+
+def test_native_pos_tuples_match_counts(tmp_path):
+    """The C++ per-position scoring tuples equal a recomputation from the
+    dense count tensor (sup/cov by direction + N total)."""
+    import numpy as np
+    from pisces_tpu.io.native import open_bam, native_pileup, get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    import conftest
+    import os
+    from pisces_tpu.io.fasta import Genome
+    from pisces_tpu.io.bam import filter_batch
+    from pisces_tpu.domain.types import BASE_TO_ALLELE
+
+    bam = open_bam(conftest.shared_bam("PhiX_S3.bam"))
+    gdir = os.path.join(conftest.shared_genome("PhiX"), "WholeGenomeFasta")
+    chrom = Genome(gdir).get_chr_reference("phix")
+    batch = bam.fetch(ref_id=0)
+    keep = filter_batch(batch, 1, True, False)
+    pc, mm = native_pileup(bam, keep, 20, 5, 1000, None, None,
+                           ref_codes=BASE_TO_ALLELE[chrom.sequence])
+    assert pc.pos_tuples is not None
+    nb = len(pc.block_keys)
+    c = pc.counts_t.reshape(nb * 1000, 6, 3)
+    positions = ((pc.block_keys[:, None] - 1) * 1000
+                 + np.arange(1000)[None, :] + 1).reshape(-1)
+    in_ref = positions <= len(chrom.sequence)
+    rc = np.where(in_ref, BASE_TO_ALLELE[
+        chrom.sequence[np.minimum(positions, len(chrom.sequence)) - 1]], -1)
+    cov = c[:, [0, 1, 2, 3, 5], :].sum(axis=1)
+    sup = np.where(rc[:, None] >= 0,
+                   c[np.arange(len(c)), np.maximum(rc, 0), :], 0)
+    n_tot = c[:, 4, :].sum(axis=1)
+    assert np.array_equal(pc.pos_tuples[:, :3], sup)
+    assert np.array_equal(pc.pos_tuples[:, 3:6], cov)
+    assert np.array_equal(pc.pos_tuples[:, 6], n_tot)
