@@ -75,6 +75,7 @@ class PairClassification(enum.IntEnum):
     UNSTITCH_FORWARD_MESSY_INDEL = 28
     UNSTITCH_REVERSE_MESSY_INDEL = 29
     DUPLICATE = 30
+    UNSTITCH_MESSY_SUSPICIOUS_MD = 31
 
 
 # categories whose reads enter targeted realignment: the reference's
@@ -96,6 +97,7 @@ REALIGN_CLASSES = frozenset({
     PairClassification.UNSTITCH_MESSY_SUSPICIOUS_READ,
     PairClassification.UNSTITCH_MESSY_INDEL_SUSPICIOUS_READ,
     PairClassification.UNSTITCH_MESSY_INDEL,
+    PairClassification.UNSTITCH_MESSY_SUSPICIOUS_MD,
     # singleton extensions (see module docstring)
     PairClassification.UNSTITCHABLE_AS_SINGLETON,
     PairClassification.INDEL_SINGLETON,

@@ -35,6 +35,17 @@ ALLELE_CHARS = np.frombuffer(b"AGCTN-", dtype=np.uint8)
 OP_S = 4
 
 
+def _treatment_string(r1_realigned: bool, r2_realigned: bool,
+                      stitch_word: str, s1: bool, s2: bool) -> str:
+    """XT read-treatment value (AggregateRegionProcessor.ReadTreatment,
+    AggregateRegionProcessor.cs:537-554)."""
+    silenced = f"_Silenced{'R1' if s1 else ''}{'R2' if s2 else ''}" \
+        if (s1 or s2) else ""
+    return ((("R1Realigned" if r1_realigned else "R1Untouched") + "_"
+             + ("R2Realigned" if r2_realigned else "R2Untouched") + "_"
+             + stitch_word) + silenced)
+
+
 @dataclass
 class GeminiOptions:
     min_base_call_quality: int = 20
@@ -56,6 +67,21 @@ class GeminiOptions:
     num_softclips_messy: int = 8          # NumSoftclipsToBeConsideredMessy
     num_mismatches_messy: int = 3         # NumMismatchesToBeConsideredMessy
     messy_mapq: int = 30                  # MessyMapq
+    # bin-signal realignment gating + read silencing (GeminiOptions.cs:29-49;
+    # see preprocessing/bins.py). Gating applies when classification is on.
+    use_bin_signal: bool = True
+    collect_depth: bool = True
+    messy_site_width: int = 500
+    messy_site_threshold: int = 1
+    imperfect_freq_threshold: float = 0.03
+    indel_region_freq_threshold: float = 0.01
+    region_depth_threshold: int = 5
+    directional_mess_threshold: float = 0.2
+    silence_suspicious_md_reads: bool = False
+    silence_directional_mess_reads: bool = False
+    silence_messy_map_mess_reads: bool = False
+    force_high_likelihood_realigners: bool = False
+    tag_treatment: bool = True            # XT/XP tags on processed reads
 
 
 def collect_indel_targets(chrom_name: str, refseq: np.ndarray,
@@ -129,17 +155,110 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
             return True
         return cls_map[i] in STITCH_CLASSES
 
+    # mate index for every kept paired read (pair-span gating + silencing)
+    mate_of: Dict[int, int] = {}
+    if read_names is not None:
+        pair_members: Dict[str, List[int]] = defaultdict(list)
+        for i in np.nonzero(keep)[0]:
+            if batch.flag[i] & FLAG_PAIRED:
+                pair_members[read_names[i]].append(int(i))
+        for members in pair_members.values():
+            if len(members) == 2:
+                mate_of[members[0]] = members[1]
+                mate_of[members[1]] = members[0]
+
+    # bin-level conclusions: realignment is only attempted where the bin
+    # signal says the region is messy AND holds a confirmed indel target
+    # (AggregateRegionProcessor.cs:80-200; preprocessing/bins.py)
+    conclusions = None
+    if options.use_bin_signal and cls_map is not None:
+        from pisces_tpu.preprocessing.bins import (
+            BinSignalOptions, compute_bin_conclusions,
+        )
+        kept_idx = np.nonzero(keep)[0]
+        cls_codes = np.fromiter((int(cls_map[int(i)]) for i in kept_idx),
+                                np.int32, len(kept_idx))
+        conclusions = compute_bin_conclusions(
+            len(refseq), batch.pos[kept_idx], batch.end_pos[kept_idx],
+            cls_codes, np.array([t.position for t in targets], np.int64),
+            BinSignalOptions(
+                messy_site_width=options.messy_site_width,
+                messy_site_threshold=options.messy_site_threshold,
+                collect_depth=options.collect_depth,
+                imperfect_freq_threshold=options.imperfect_freq_threshold,
+                indel_region_freq_threshold=options.indel_region_freq_threshold,
+                region_depth_threshold=options.region_depth_threshold,
+                directional_mess_threshold=options.directional_mess_threshold))
+
+    def _site_usable(i: int) -> bool:
+        """doRealignPair gate (AggregateRegionProcessor.cs:473-478): pair
+        min/max position in a usable bin, or high-likelihood override."""
+        if conclusions is None:
+            return True
+        if options.force_high_likelihood_realigners:
+            from pisces_tpu.preprocessing.bins import HIGH_LIKELIHOOD_REALIGN
+            if cls_map[i] in HIGH_LIKELIHOOD_REALIGN:
+                return True
+        j = mate_of.get(i, i)
+        lo = min(int(batch.pos[i]), int(batch.pos[j]))
+        hi = max(int(batch.end_pos[i]), int(batch.end_pos[j]))
+        return conclusions.usable_at(lo, hi)
+
     realigned: Dict[int, Tuple[int, list]] = {}
     if targets:
         for i in np.nonzero(keep)[0]:
             if not _realignable(int(i)):
                 continue
+            if not _site_usable(int(i)):
+                stats["skipped_realign_sites"] += 1
+                continue
+            stats["realign_attempts"] += 1
             pos1, cigar, seq, quals = _read_tuple(batch, i)
             res = realign_read(pos1, cigar, seq, refseq, targets,
                                options.max_indel_size)
             if res is not None:
                 realigned[int(i)] = (res.pos1, res.cigar)
                 stats["realigned"] += 1
+
+    # read silencing: directional-mess / suspicious-mapping categories in
+    # flagged bins get base qualities zeroed unless realigned
+    # (ReadsToSilence + SilenceReads)
+    silence_set: set = set()
+    if conclusions is not None and (options.silence_directional_mess_reads
+                                    or options.silence_messy_map_mess_reads):
+        from pisces_tpu.preprocessing.bins import reads_to_silence
+        seen_pairs = set()
+        for i in np.nonzero(keep)[0]:
+            i = int(i)
+            j = mate_of.get(i)
+            key = (min(i, j), max(i, j)) if j is not None else (i, i)
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
+            if batch.flag[i] & FLAG_REVERSE:
+                fwd_idx, rev_idx = j, i
+            else:
+                fwd_idx, rev_idx = i, j
+            silence_set |= reads_to_silence(
+                int(cls_map[i]), fwd_idx, rev_idx,
+                lambda k: int(batch.pos[k]), conclusions,
+                options.silence_directional_mess_reads,
+                options.silence_messy_map_mess_reads)
+    silence_set -= set(realigned)
+    if silence_set:
+        stats["silenced"] = len(silence_set)
+
+    def _quals_for(i: int, quals):
+        return [0] * len(quals) if i in silence_set else list(quals)
+
+    def _tags_for(i: int, treatment: str, extra=None) -> Optional[dict]:
+        """XT (treatment) / XP (classification) tags
+        (AggregateRegionProcessor.cs:516-521)."""
+        tags = dict(extra) if extra else {}
+        if options.tag_treatment and cls_map is not None:
+            tags["XT"] = treatment
+            tags["XP"] = cls_map[i].name
+        return tags or None
 
     # pair up mates by name for stitching
     records: List[BamRecord] = []
@@ -150,12 +269,14 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                 by_name[read_names[i]].append(int(i))
 
     stitched_members = set()
+    stitch_attempted = set()
     for name, members in by_name.items():
         if len(members) != 2:
             continue
         i1, i2 = members
         p1, c1, s1, q1 = _read_tuple(batch, i1)
         p2, c2, s2, q2 = _read_tuple(batch, i2)
+        q1, q2 = _quals_for(i1, q1), _quals_for(i2, q2)
         if i1 in realigned:
             p1, c1 = realigned[i1]
         if i2 in realigned:
@@ -168,15 +289,19 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                               options.min_base_call_quality,
                               nify_disagreements=options.nify_disagreements,
                               max_read_length=options.max_read_length)
+        stitch_attempted.update(members)
         if result is not None:
             stats["stitched_pairs"] += 1
             stitched_members.update(members)
+            treatment = _treatment_string(
+                i1 in realigned, i2 in realigned, "Stitched",
+                i1 in silence_set, i2 in silence_set)
             records.append(BamRecord(
                 name, int(batch.ref_id[i1]), result.pos1 - 1,
                 max(int(batch.mapq[i1]), int(batch.mapq[i2])),
                 int(batch.flag[i1]) & ~0x1 & ~0x40 & ~0x80,
                 result.cigar, result.seq, result.qual,
-                tags={"XD": result.xd}))
+                tags=_tags_for(i1, treatment, {"XD": result.xd})))
 
     for i in range(batch.n):
         if not keep[i]:
@@ -185,12 +310,21 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         if int(i) in stitched_members:
             continue
         pos1, cigar, seq, quals = _read_tuple(batch, i)
+        quals = _quals_for(int(i), quals)
         if int(i) in realigned:
             pos1, cigar = realigned[int(i)]
         name = read_names[i] if read_names is not None else f"r{i}"
+        tags = None
+        if cls_map is not None and (_realignable(int(i))
+                                    or _stitchable(int(i))):
+            stitch_word = ("FailStitch" if int(i) in stitch_attempted
+                           else "Unstitch")
+            tags = _tags_for(int(i), _treatment_string(
+                int(i) in realigned, False, stitch_word,
+                int(i) in silence_set, False))
         records.append(BamRecord(name, int(batch.ref_id[i]), pos1 - 1,
                                  int(batch.mapq[i]), int(batch.flag[i]),
-                                 cigar, seq, list(quals)))
+                                 cigar, seq, quals, tags=tags))
     records.sort(key=lambda r: (r.ref_id, r.pos0))
     return records, dict(stats)
 
@@ -365,6 +499,18 @@ def main(argv=None) -> int:
     a("-numsoftclipstobeconsideredmessy", type=int, default=8)
     a("-nummismatchestobeconsideredmessy", type=int, default=3)
     a("-messymapq", type=int, default=30)
+    # bin-signal gating + silencing (GeminiApplicationOptionsParser)
+    a("-collectdepth", default="true")
+    a("-messysitethreshold", type=int, default=1)
+    a("-messysitewidth", type=int, default=500)
+    a("-imperfectfreqthreshold", type=float, default=0.03)
+    a("-indelregionfreqthreshold", type=float, default=0.01)
+    a("-regiondepththreshold", type=int, default=5)
+    a("-directionalmessthreshold", type=float, default=0.2)
+    a("-silencesuspiciousmdreads", default="false")
+    a("-silencedirectionalmessreads", default="false")
+    a("-silencemessymapmessreads", default="false")
+    a("-forcehighlikelihoodrealigners", default="false")
     a("-debug", default="false")
     a("-lightdebug", default="false")
     # accepted for command-line compatibility; no behavioral counterpart in
@@ -372,21 +518,17 @@ def main(argv=None) -> int:
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
                  "-readcachesize", "-numconcurrentregions", "-regionsize",
                  "-binsize", "-keepunmerged", "-keepprobe",
-                 "-sortperchrom", "-indexperchrom", "-collectdepth",
+                 "-sortperchrom", "-indexperchrom",
                  "-trackmismatches", "-logregionsandrealignments",
                  "-categoriestorealign", "-categoriestosnowball",
-                 "-forcehighlikelihoodrealigners", "-avoidlikelysnvs",
+                 "-avoidlikelysnvs",
                  "-softclipunknownindels", "-remaskmessysoftclips",
                  "-maskpartialinsertion", "-checksoftclipsformismatches",
                  "-countnstowarddisagreeingbases", "-dontstitchrepeatoverlap",
                  "-maxnumdisagreeingstitchedbases", "-stringtagstokeepfromr1",
                  "-filterforproperpairs", "-filterpairlowmapq",
                  "-filterpairunmapped", "-treatabnormalorientationasimproper",
-                 "-ignorereadsabovemaxlength", "-imperfectfreqthreshold",
-                 "-indelregionfreqthreshold", "-regiondepththreshold",
-                 "-messysitethreshold", "-messysitewidth",
-                 "-directionalmessthreshold", "-silencesuspiciousmdreads",
-                 "-silencedirectionalmessreads", "-silencemessymapmessreads",
+                 "-ignorereadsabovemaxlength",
                  "-allowrescoringorigzero", "-pairawareeverything",
                  "-recalculateusablesitesaftersnowball",
                  "-requirepositiveoutcomeforsnowball", "-minpreferredanchor",
@@ -409,6 +551,19 @@ def main(argv=None) -> int:
     options.num_softclips_messy = args.numsoftclipstobeconsideredmessy
     options.num_mismatches_messy = args.nummismatchestobeconsideredmessy
     options.messy_mapq = args.messymapq
+    options.collect_depth = _b(args.collectdepth)
+    options.messy_site_threshold = args.messysitethreshold
+    options.messy_site_width = args.messysitewidth
+    options.imperfect_freq_threshold = args.imperfectfreqthreshold
+    options.indel_region_freq_threshold = args.indelregionfreqthreshold
+    options.region_depth_threshold = args.regiondepththreshold
+    options.directional_mess_threshold = args.directionalmessthreshold
+    options.silence_suspicious_md_reads = _b(args.silencesuspiciousmdreads)
+    options.silence_directional_mess_reads = \
+        _b(args.silencedirectionalmessreads)
+    options.silence_messy_map_mess_reads = _b(args.silencemessymapmessreads)
+    options.force_high_likelihood_realigners = \
+        _b(args.forcehighlikelihoodrealigners)
     if args.chromosomes:
         options.chromosomes = tuple(
             c for c in args.chromosomes.split(",") if c)
