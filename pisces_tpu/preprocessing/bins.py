@@ -47,7 +47,8 @@ for _c in (PC.FAIL_STITCH, PC.MESSY_STITCHED, PC.MESSY_SPLIT,
            PC.UNSTITCH_REVERSE_MESSY, PC.UNSTITCH_MESSY_SUSPICIOUS_READ,
            PC.UNSTITCH_MESSY_INDEL_SUSPICIOUS_READ,
            PC.UNSTITCH_FORWARD_MESSY_INDEL,
-           PC.UNSTITCH_REVERSE_MESSY_INDEL):
+           PC.UNSTITCH_REVERSE_MESSY_INDEL,
+           PC.UNSTITCH_MESSY_SUSPICIOUS_MD):
     _MESSY_LUT[_c] = True
 
 # TypeClassifier._indelTypes (TypeClassifier.cs:48-58)

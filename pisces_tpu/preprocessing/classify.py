@@ -206,6 +206,100 @@ def extract_features(batch: ReadBatch, ref_codes: np.ndarray,
         pos=np.asarray(batch.pos), end_pos=np.asarray(batch.end_pos))
 
 
+@dataclass
+class MdStats:
+    """Per-read mismatch composition (the reference derives this from the
+    MD tag — Helper.GetMdCountsWithSubstitutions, used by
+    ReadPairClassifierAndExtractor.HasSuspiciousMd cs:256-330; here it is
+    computed directly against the reference sequence)."""
+    ref_comp: np.ndarray     # [n,4] mismatch counts by reference base AGCT
+    sub_comp: np.ndarray     # [n,4] mismatch counts by substituted read base
+    n_subs: np.ndarray       # [n]   aligned positions where the read has N
+    run_len: np.ndarray      # [n]   longest run of adjacent mismatches
+    num_in_runs: np.ndarray  # [n]   mismatches inside runs of length >= 2
+
+
+def compute_md_stats(batch: ReadBatch, ref_codes: np.ndarray,
+                     keep: Optional[np.ndarray] = None) -> MdStats:
+    n = batch.n
+    if keep is None:
+        keep = np.ones(n, dtype=bool)
+    ref_comp = np.zeros((n, 4), np.int32)
+    sub_comp = np.zeros((n, 4), np.int32)
+    n_subs = np.zeros(n, np.int32)
+    run_len = np.zeros(n, np.int32)
+    num_in_runs = np.zeros(n, np.int32)
+    ex = expand_batch(batch, keep)
+    if len(ex.read_idx):
+        mapped = (ex.gpos > 0) & (ex.gpos <= len(ref_codes))
+        base = batch.seq[ex.seq_idx]
+        ref = np.where(mapped, ref_codes[np.clip(ex.gpos - 1, 0, None)], -1)
+        is_n = mapped & (base == 4) & (ref >= 0) & (ref < 4)
+        mism = mapped & (base != ref) & (base >= 0) & (base < 4) \
+            & (ref >= 0) & (ref < 4)
+        np.add.at(n_subs, ex.read_idx[is_n], 1)
+        np.add.at(ref_comp, (ex.read_idx[mism], ref[mism]), 1)
+        np.add.at(sub_comp, (ex.read_idx[mism], base[mism]), 1)
+        mi = np.nonzero(mism)[0]
+        if len(mi):
+            r = ex.read_idx[mi]
+            g = ex.gpos[mi]
+            new_run = np.ones(len(mi), bool)
+            # a run continues while the same read mismatches consecutive
+            # reference positions (insertions between do not break an MD run)
+            new_run[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1] + 1)
+            run_id = np.cumsum(new_run) - 1
+            counts = np.bincount(run_id).astype(np.int32)
+            run_reads = r[new_run]
+            np.maximum.at(run_len, run_reads, counts)
+            big = counts >= 2
+            np.add.at(num_in_runs, run_reads[big], counts[big])
+    return MdStats(ref_comp, sub_comp, n_subs, run_len, num_in_runs)
+
+
+def _one_much_worse(a: int, b: int, threshold: int) -> bool:
+    """OneMuchWorse (ReadPairClassifierAndExtractor.cs:339-355)."""
+    if a > b:
+        return a > threshold and a > b * 2
+    return b > threshold and b > a * 2
+
+
+def has_suspicious_md(md: MdStats, f: "ReadFeatures", i1: int,
+                      i2: int) -> bool:
+    """HasSuspiciousMd (cs:256-330): for a messy non-indel pair, excess Ns
+    or a lopsided mismatch composition between overlapping mates marks the
+    pair as a probable sequencing/mapping artifact."""
+    if int(md.n_subs[i1]) > NM_MESSY or int(md.n_subs[i2]) > NM_MESSY:
+        return True
+    # mates that do not overlap cannot be compared (pair.DontOverlap)
+    if f.end_pos[i1] < f.pos[i2] or f.end_pos[i2] < f.pos[i1]:
+        return False
+    t1 = int(md.ref_comp[i1].sum())
+    t2 = int(md.ref_comp[i2].sum())
+    total_md_suspicious = 8
+    run_length_suspicious = 2
+    num_in_runs_suspicious = 4
+    suspicious_total = (t1 > total_md_suspicious
+                        or t2 > total_md_suspicious)
+    suspicious_runs = (
+        max(int(md.num_in_runs[i1]), int(md.num_in_runs[i2]))
+        > num_in_runs_suspicious
+        or max(int(md.run_len[i1]), int(md.run_len[i2]))
+        > run_length_suspicious)
+    if suspicious_total or suspicious_runs:
+        if _one_much_worse(t1, t2, total_md_suspicious):
+            return True
+        per_type = 4
+        for k in range(4):
+            if _one_much_worse(int(md.ref_comp[i1, k]),
+                               int(md.ref_comp[i2, k]), per_type):
+                return True
+            if _one_much_worse(int(md.sub_comp[i1, k]),
+                               int(md.sub_comp[i2, k]), per_type):
+                return True
+    return False
+
+
 def _messy_suspicious(cls, mapq1, mapq2, has_indels):
     """AdjustClassificationForMultimapper (cs:359-380)."""
     if cls in (PairClassification.UNSTITCH_MESSY,
@@ -356,11 +450,17 @@ def classify_pair(f: ReadFeatures, i1: int, i2: Optional[int],
 def classify_batch(batch: ReadBatch, ref_codes: np.ndarray,
                    read_names: List[str],
                    min_map_quality: int = 10,
-                   trust_softclips: bool = False
+                   trust_softclips: bool = False,
+                   check_md: bool = False
                    ) -> Dict[int, PairClassification]:
     """Classification for every primary read, keyed by read index; both
-    mates of a pair share the pair's classification."""
+    mates of a pair share the pair's classification.
+
+    check_md enables the UnstitchMessySuspiciousMd upgrade for messy pairs
+    (active in the reference only when SilenceSuspiciousMdReads is set —
+    TaskFactory.cs:53 passes checkMd: GeminiOptions.SilenceSuspiciousMdReads)."""
     f = extract_features(batch, ref_codes)
+    md = compute_md_stats(batch, ref_codes) if check_md else None
     by_name: Dict[str, List[int]] = {}
     for i in range(batch.n):
         if f.paired[i] and f.primary[i]:
@@ -378,6 +478,11 @@ def classify_batch(batch: ReadBatch, ref_codes: np.ndarray,
         if len(members) == 2:
             cls = classify_pair(f, members[0], members[1], min_map_quality,
                                 trust_softclips)
+            if (md is not None
+                    and cls in (PairClassification.UNSTITCH_MESSY,
+                                PairClassification.UNSTITCH_MESSY_SUSPICIOUS_READ)
+                    and has_suspicious_md(md, f, members[0], members[1])):
+                cls = PairClassification.UNSTITCH_MESSY_SUSPICIOUS_MD
             out[members[0]] = cls
             out[members[1]] = cls
         else:

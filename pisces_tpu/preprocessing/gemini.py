@@ -141,7 +141,8 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         ref_codes = BASE_TO_ALLELE[refseq]
         cls_map = classify_batch(batch, ref_codes, read_names,
                                  options.classifier_min_mapq,
-                                 options.trust_softclips)
+                                 options.trust_softclips,
+                                 check_md=options.silence_suspicious_md_reads)
         for cls in cls_map.values():
             stats[f"cls_{cls.name}"] += 1
 
@@ -224,9 +225,14 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
     # flagged bins get base qualities zeroed unless realigned
     # (ReadsToSilence + SilenceReads)
     silence_set: set = set()
-    if conclusions is not None and (options.silence_directional_mess_reads
-                                    or options.silence_messy_map_mess_reads):
+    if cls_map is not None and (options.silence_suspicious_md_reads
+                                or (conclusions is not None
+                                    and (options.silence_directional_mess_reads
+                                         or options.silence_messy_map_mess_reads))):
         from pisces_tpu.preprocessing.bins import reads_to_silence
+        from pisces_tpu.preprocessing.classify import (
+            PairClassification as _PC,
+        )
         seen_pairs = set()
         for i in np.nonzero(keep)[0]:
             i = int(i)
@@ -235,6 +241,14 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
             if key in seen_pairs:
                 continue
             seen_pairs.add(key)
+            # suspicious-MD pairs are silenced outright, no bin lookup
+            # (ReadsToSilence, AggregateRegionProcessor.cs:349-352)
+            if (options.silence_suspicious_md_reads
+                    and cls_map[i] == _PC.UNSTITCH_MESSY_SUSPICIOUS_MD):
+                silence_set.update(k for k in (i, j) if k is not None)
+                continue
+            if conclusions is None:
+                continue
             if batch.flag[i] & FLAG_REVERSE:
                 fwd_idx, rev_idx = j, i
             else:

@@ -128,3 +128,101 @@ def test_long_fragment(tmp_path):
                      ("p", 1501, "20M", ref[1500:1520],
                       0x1 | 0x80 | 0x10, 60)], tmp_path, ref=ref)
     assert cls[0] == PairClassification.LONG_FRAGMENT_
+
+
+class TestSuspiciousMd:
+    """UnstitchMessySuspiciousMd upgrade (HasSuspiciousMd,
+    ReadPairClassifierAndExtractor.cs:256-330), mismatch composition
+    computed against the reference instead of MD tags.  The upgrade only
+    applies to UnstitchMessy / UnstitchMessySuspiciousRead pairs
+    (cs:241-248), i.e. both mates messy."""
+
+    def _classify_md(self, reads, tmp_path, ref=REF, check_md=True):
+        bam = str(tmp_path / "md.bam")
+        w = BamWriter(bam, ["chr1"], [len(ref)])
+        for name, pos1, cigar, seq, flag, mapq in reads:
+            w.add_read(name, "chr1", pos1, cigar, seq, flag=flag, mapq=mapq)
+        w.write(sort=False)
+        batch = BamReader(bam).fetch(0)
+        names = [r[0] for r in reads]
+        ref_codes = BASE_TO_ALLELE[
+            np.frombuffer(ref.encode(), dtype=np.uint8)]
+        return classify_batch(batch, ref_codes, names, check_md=check_md)
+
+    def _messy_read(self, start0, n_mism, length=30, spacing=3, ref=REF,
+                    to_base=None):
+        s = list(ref[start0:start0 + length])
+        for m in range(n_mism):
+            idx = m * spacing
+            if to_base is not None:
+                s[idx] = to_base if s[idx] != to_base else "C"
+            else:
+                s[idx] = {"A": "C", "C": "A", "G": "T", "T": "G"}[s[idx]]
+        return "".join(s)
+
+    def test_lopsided_mismatch_total_flags_md(self, tmp_path):
+        # R1 10 spread mismatches, R2 3: both messy -> UnstitchMessy; total
+        # 10 > 8 and OneMuchWorse(10, 3, 8) -> suspicious
+        ref = REF * 3
+        r1 = self._messy_read(0, 10, length=30, spacing=3, ref=ref)
+        r2 = self._messy_read(10, 3, length=30, spacing=9, ref=ref)
+        cls = self._classify_md(
+            [("p", 1, "30M", r1, PAIR1, 60),
+             ("p", 11, "30M", r2, PAIR2, 60)], tmp_path, ref=ref)
+        assert cls[0] == PairClassification.UNSTITCH_MESSY_SUSPICIOUS_MD
+
+    def test_check_md_off_keeps_messy(self, tmp_path):
+        ref = REF * 3
+        r1 = self._messy_read(0, 10, length=30, spacing=3, ref=ref)
+        r2 = self._messy_read(10, 3, length=30, spacing=9, ref=ref)
+        cls = self._classify_md(
+            [("p", 1, "30M", r1, PAIR1, 60),
+             ("p", 11, "30M", r2, PAIR2, 60)], tmp_path, ref=ref,
+            check_md=False)
+        assert cls[0] == PairClassification.UNSTITCH_MESSY
+
+    def test_non_overlapping_pair_not_flagged(self, tmp_path):
+        # same lopsidedness but mates do not overlap -> DontOverlap
+        # short-circuit (no N excess, composition incomparable)
+        ref = REF * 4
+        r1 = self._messy_read(0, 10, length=30, spacing=3, ref=ref)
+        r2 = self._messy_read(100, 3, length=30, spacing=9, ref=ref)
+        cls = self._classify_md(
+            [("p", 1, "30M", r1, PAIR1, 60),
+             ("p", 101, "30M", r2, PAIR2, 60)], tmp_path, ref=ref)
+        assert cls[0] == PairClassification.UNSTITCH_MESSY
+
+    def test_excess_ns_flag_md(self, tmp_path):
+        # R1 messy with > 3 N bases -> suspicious even without lopsidedness
+        ref = REF * 3
+        s = list(self._messy_read(0, 4, length=30, spacing=3, ref=ref))
+        s[20] = s[22] = s[24] = s[26] = "N"
+        r2 = self._messy_read(10, 3, length=30, spacing=9, ref=ref)
+        cls = self._classify_md(
+            [("p", 1, "30M", "".join(s), PAIR1, 60),
+             ("p", 11, "30M", r2, PAIR2, 60)], tmp_path, ref=ref)
+        assert cls[0] == PairClassification.UNSTITCH_MESSY_SUSPICIOUS_MD
+
+    def test_mismatch_runs_flag_md(self, tmp_path):
+        # 8-long adjacent mismatch run, all substituted toward A ->
+        # NumInRuns 8 > 4 and subA lopsided vs the mate -> suspicious
+        ref = REF * 3
+        s = list(ref[0:30])
+        for idx in range(10, 18):
+            s[idx] = "A" if s[idx] != "A" else "C"
+        r2 = self._messy_read(10, 3, length=30, spacing=9, ref=ref)
+        cls = self._classify_md(
+            [("p", 1, "30M", "".join(s), PAIR1, 60),
+             ("p", 11, "30M", r2, PAIR2, 60)], tmp_path, ref=ref)
+        assert cls[0] == PairClassification.UNSTITCH_MESSY_SUSPICIOUS_MD
+
+    def test_balanced_mismatches_not_flagged(self, tmp_path):
+        # mates share the same 4 spread mismatches -> balanced composition,
+        # no runs, totals <= 8 -> stays messy
+        ref = REF * 3
+        r1 = self._messy_read(10, 4, length=30, spacing=6, ref=ref)
+        cls = self._classify_md(
+            [("p", 11, "30M", r1, PAIR1, 60),
+             ("p", 11, "30M", r1, PAIR2, 60)], tmp_path, ref=ref)
+        assert cls[0] in (PairClassification.UNSTITCH_MESSY,
+                          PairClassification.UNSTITCH_MESSY_SUSPICIOUS_READ)
