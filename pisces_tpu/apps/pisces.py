@@ -38,6 +38,7 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     """Run the full calling pipeline for one chromosome; returns the list of
     called alleles in genome order (the per-chromosome unit of P1 parallelism)."""
     cfg = CallerConfig.from_options(options)
+    cfg.use_device_candidates = use_device
     bf = options.bam_filter_parameters
     track_amplicons = (
         options.variant_calling_parameters.amplicon_bias_filter_threshold

@@ -12,6 +12,7 @@ multi-device execution.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -71,6 +72,16 @@ class CallerConfig:
     consider_anchor_information: bool = True
     expect_stitched_source: bool = False
     coverage_method: "CoverageMethod" = None  # CoverageMethod.EXACT enables read-spanning coverage
+    # device routing for the batched candidate-scoring pass: batches at or
+    # above the threshold run on the fused XLA kernel (ops/jax_scoring
+    # .score_snv_loci); smaller batches stay on the vectorized f64 host path
+    # (dispatch latency beats kernel time for small N).
+    use_device_candidates: bool = False
+    device_batch_threshold: int = 4096
+    # per-allele strand-bias component tables (forward/reverse/overall
+    # ChanceFalsePos etc.) are only materialized when the bias side files
+    # are requested (StrandBiasFileWriter columns)
+    need_sb_detail: bool = False
 
     @classmethod
     def from_options(cls, options: PiscesApplicationOptions) -> "CallerConfig":
@@ -97,6 +108,9 @@ class CallerConfig:
             rmxn_frequency_limit=v.rmxn_filter_frequency_limit,
             noise_model=v.noise_model,
             coverage_method=options.coverage_method,
+            need_sb_detail=options.output_bias_files,
+            device_batch_threshold=int(os.environ.get(
+                "PISCES_DEVICE_BATCH_THRESHOLD", "4096")),
             ploidy_model=v.ploidy_model,
             min_frequency_filter=max(v.minimum_frequency_filter, v.minimum_frequency),
             target_lod_frequency=max(v.target_lod_frequency,
@@ -106,6 +120,23 @@ class CallerConfig:
             min_depth_to_genotype=v.minimum_coverage,
             consider_anchor_information=options.tracked_anchor_size > 0,
         )
+
+
+class _SbSliceView:
+    """Per-allele view into a batched strand-bias result dict (the
+    StrandBiasFileWriter reads sb[group][stat][0] per allele)."""
+
+    __slots__ = ("_batch", "_i")
+
+    def __init__(self, batch: dict, i: int):
+        self._batch = batch
+        self._i = i
+
+    def __getitem__(self, key):
+        v = self._batch[key]
+        if isinstance(v, dict):
+            return {k: arr[self._i:self._i + 1] for k, arr in v.items()}
+        return v[self._i:self._i + 1]
 
 
 class AlleleCaller:
@@ -126,15 +157,46 @@ class AlleleCaller:
         return 0 if self.collapser is None else self.collapser.total_num_collapsed
 
     # -- per-variant scoring (ProcessVariant, AlleleCaller.cs:208-234) -------
+    #
+    # The reference scores one allele at a time inside the per-candidate
+    # loop; this build phases the same math so the batch of candidates hits
+    # the vectorized/fused kernels once:
+    #   phase 1  coverage reconciliation (point coverage gathered columnar
+    #            for SNV/reference alleles; spanning semantics per-allele)
+    #   phase 2  q-score + strand bias over the whole batch (host f64
+    #            vectorized, or the fused XLA kernel for large batches)
+    #   phase 3  amplicon bias + filters (host, per-allele string logic)
 
     def process_variant(self, source: AlleleSource, a: CalledAllele) -> None:
+        self.process_variants_batch(source, [a])
+
+    def process_variants_batch(self, source: AlleleSource,
+                               alleles: List[CalledAllele]) -> None:
+        if not alleles:
+            return
+        point: List[CalledAllele] = []
+        spanning: List[CalledAllele] = []
+        for a in alleles:
+            if a.category in (AlleleCategory.DELETION, AlleleCategory.MNV,
+                              AlleleCategory.INSERTION):
+                spanning.append(a)
+            else:
+                point.append(a)
+        if point:
+            self._batch_point_coverage(source, point)
+        for a in spanning:
+            self._compute_spanning_coverage(source, a)
+
+        self._score_batch([a for a in alleles if a.allele_support > 0], source)
+        for a in alleles:
+            self._apply_filters(a)
+
+    def _compute_spanning_coverage(self, source: AlleleSource,
+                                   a: CalledAllele) -> None:
         cfg = self.config
         from pisces_tpu.domain.types import CoverageMethod
         use_exact = (cfg.coverage_method == CoverageMethod.EXACT
-                     and self.read_summaries is not None
-                     and a.category in (AlleleCategory.DELETION,
-                                        AlleleCategory.MNV,
-                                        AlleleCategory.INSERTION))
+                     and self.read_summaries is not None)
         if use_exact:
             from pisces_tpu.ops.exact_coverage import exact_spanning_coverage
             length = (len(a.alt_allele) - 1
@@ -149,47 +211,160 @@ class AlleleCaller:
             a.coverage_by_direction = cov_dir
             a.reference_support = ref_sup
             a.sum_of_base_quality = sum_bq
+            return
+        cov = compute_coverage(source, a.category, a.position, a.ref_allele,
+                               a.alt_allele, a.allele_support,
+                               a.well_anchored_support,
+                               cfg.consider_anchor_information)
+        a.total_coverage = cov.total_coverage
+        a.coverage_by_direction = cov.coverage_by_direction
+        a.reference_support = cov.reference_support
+        a.num_no_calls = cov.num_no_calls
+        a.sum_of_base_quality = cov.sum_of_base_quality
+        a.confident_coverage_start = cov.confident_coverage_start
+        a.confident_coverage_end = cov.confident_coverage_end
+        a.suspicious_coverage_start = cov.suspicious_coverage_start
+        a.suspicious_coverage_end = cov.suspicious_coverage_end
+        a.unanchored_coverage_weight = cov.unanchored_coverage_weight
+        if cov.allele_support_adjustment:
+            a.allele_support += cov.allele_support_adjustment
+
+    def _batch_point_coverage(self, source: AlleleSource,
+                              alleles: List[CalledAllele]) -> None:
+        """Columnar CalculateSinglePoint (CoverageCalculator.cs:49-98) over a
+        batch of SNV/reference alleles: one gather from the flat count
+        tensors instead of 36 scalar lookups per allele."""
+        from pisces_tpu.domain.types import (
+            COVERAGE_CONTRIBUTING_ALLELES, AlleleType, get_allele_type,
+        )
+        cov_alleles = np.array([int(x) for x in COVERAGE_CONTRIBUTING_ALLELES])
+        n = len(alleles)
+        pos = np.fromiter((a.position for a in alleles), np.int64, n)
+        rows = np.atleast_1d(source.pc.pos_index(pos))
+        counts, quals = source._flat_counts, source._flat_quals
+        safe = np.maximum(rows, 0)
+        if len(counts) == 0:
+            c = np.zeros((n, counts.shape[1] if counts.ndim > 1 else 6, 3),
+                         np.int64)
+            qv = np.zeros_like(c, dtype=np.float64)
         else:
-            cov = compute_coverage(source, a.category, a.position, a.ref_allele,
-                                   a.alt_allele, a.allele_support,
-                                   a.well_anchored_support,
-                                   cfg.consider_anchor_information)
-            a.total_coverage = cov.total_coverage
-            a.coverage_by_direction = cov.coverage_by_direction
-            a.reference_support = cov.reference_support
-            a.num_no_calls = cov.num_no_calls
-            a.sum_of_base_quality = cov.sum_of_base_quality
-            a.confident_coverage_start = cov.confident_coverage_start
-            a.confident_coverage_end = cov.confident_coverage_end
-            a.suspicious_coverage_start = cov.suspicious_coverage_start
-            a.suspicious_coverage_end = cov.suspicious_coverage_end
-            a.unanchored_coverage_weight = cov.unanchored_coverage_weight
-            if cov.allele_support_adjustment:
-                a.allele_support += cov.allele_support_adjustment
+            c = counts[safe]
+            qv = quals[safe]
+            miss = rows < 0
+            if miss.any():
+                c = np.where(miss[:, None, None], 0, c)
+                qv = np.where(miss[:, None, None], 0.0, qv)
+        cov_by_dir = c[:, cov_alleles, :].sum(axis=1)   # [n, 3]
+        total = cov_by_dir.sum(axis=1)
+        # base-quality sums folded in the reference's accumulation order
+        # (direction-major, then allele) so f64 rounding matches the scalar
+        # path bit for bit (WINDOW noise model consumes this)
+        qflat = qv[:, cov_alleles, :].transpose(0, 2, 1).reshape(n, -1)
+        sum_bq = np.zeros(n, np.float64)
+        for j in range(qflat.shape[1]):
+            sum_bq += qflat[:, j]
+        num_nc = c[:, int(AlleleType.N), :].sum(axis=1)
+        ref_types = np.fromiter(
+            (int(get_allele_type(a.ref_allele[0])) for a in alleles),
+            np.int64, n)
+        ref_sup = c[np.arange(n), ref_types, :].sum(axis=1)
 
-        if a.allele_support > 0:
-            if cfg.noise_model == NoiseModel.WINDOW and a.total_coverage > 0:
-                noise = int(stats.p_to_q(a.sum_of_base_quality / a.total_coverage))
+        gapped = source.gapped_mnv_ref_counts
+        for i, a in enumerate(alleles):
+            t = int(total[i])
+            a.total_coverage = t
+            a.coverage_by_direction = cov_by_dir[i].astype(np.int64)
+            a.num_no_calls = int(num_nc[i])
+            a.sum_of_base_quality = float(sum_bq[i])
+            a.confident_coverage_start = t
+            a.confident_coverage_end = t
+            rs = int(ref_sup[i])
+            g = gapped.get(a.position, 0) if gapped else 0
+            if a.category == AlleleCategory.SNV:
+                rs = max(0, rs - g)
+            elif a.category == AlleleCategory.REFERENCE and g:
+                a.allele_support -= min(g, a.allele_support)
+            a.reference_support = rs
+
+    def _score_batch(self, alleles: List[CalledAllele],
+                     source: AlleleSource) -> None:
+        """Batched q-score + strand bias (phase 2) followed by per-allele
+        amplicon bias (phase 3 prologue)."""
+        cfg = self.config
+        n = len(alleles)
+        if n == 0:
+            return
+        sup = np.fromiter((a.allele_support for a in alleles), np.int64, n)
+        cov = np.fromiter((a.total_coverage for a in alleles), np.int64, n)
+        sup_by_dir = np.stack([a.support_by_direction for a in alleles]
+                              ).astype(np.int64)
+        cov_by_dir = np.stack([a.coverage_by_direction for a in alleles]
+                              ).astype(np.int64)
+
+        flat_noise = cfg.noise_level_used_for_q_scoring
+        if cfg.noise_model == NoiseModel.WINDOW:
+            noise = np.full(n, flat_noise, np.int64)
+            for i, a in enumerate(alleles):
+                if a.total_coverage > 0:
+                    noise[i] = int(stats.p_to_q(
+                        a.sum_of_base_quality / a.total_coverage))
+            q = np.zeros(n, np.int64)
+            for nz in np.unique(noise):
+                m = noise == nz
+                q[m] = stats.compute_variant_qscores(
+                    sup[m], cov[m], cfg.max_variant_qscore, int(nz))
+            per_allele_noise = noise
+        else:
+            per_allele_noise = None
+            q = None  # computed below (host or device)
+
+        # The Poisson q (regularized incomplete gamma — the FLOP-heavy part)
+        # routes to the fused XLA kernel for large batches; its integer
+        # output is exact vs the f64 host path (grid-validated in
+        # tests/test_candidate_batch.py). Strand bias stays on the host f64
+        # path unconditionally: the GATK SB float is emitted verbatim in the
+        # VCF and f32 gammainc drifts past 4 decimals in the -30..-80 dB
+        # range, which would break byte parity.
+        use_device = (cfg.use_device_candidates
+                      and n >= cfg.device_batch_threshold
+                      and per_allele_noise is None)
+        if q is None:
+            if use_device:
+                q = self._qscore_batch_device(sup_by_dir, cov_by_dir, cov,
+                                              flat_noise, n,
+                                              [a.reference_support for a in alleles],
+                                              [a.num_no_calls for a in alleles])
             else:
-                noise = cfg.noise_level_used_for_q_scoring
-            a.noise_level_applied = noise
-            a.variant_qscore = int(stats.compute_variant_qscores(
-                np.array([a.allele_support]), np.array([a.total_coverage]),
-                cfg.max_variant_qscore, noise)[0])
-            sb = stats.compute_strand_bias(
-                a.support_by_direction[None, :], a.coverage_by_direction[None, :],
-                cfg.noise_level_used_for_q_scoring, cfg.min_frequency,
-                cfg.strand_bias_filter_threshold, int(cfg.strand_bias_model))
-            a.strand_bias_score = float(sb["bias_score"][0])
-            a.strand_bias_gatk = float(sb["gatk_bias_score"][0])
-            a.strand_bias_acceptable = bool(sb["bias_acceptable"][0])
-            a.var_present_on_both_strands = bool(sb["var_present_on_both_strands"][0])
-            a.cov_present_on_both_strands = bool(sb["cov_present_on_both_strands"][0])
-            a.sb_detail = sb
+                q = stats.compute_variant_qscores(
+                    sup, cov, cfg.max_variant_qscore, flat_noise)
+        sb = stats.compute_strand_bias(
+            sup_by_dir, cov_by_dir, flat_noise, cfg.min_frequency,
+            cfg.strand_bias_filter_threshold, int(cfg.strand_bias_model))
 
-            if (cfg.amplicon_bias_filter_threshold is not None
-                    and a.category == AlleleCategory.SNV):
-                from pisces_tpu.ops.amplicon_bias import calculate_amplicon_bias
+        bias_score = sb["bias_score"]
+        gatk = sb["gatk_bias_score"]
+        acceptable = sb["bias_acceptable"]
+        var_both = sb["var_present_on_both_strands"]
+        cov_both = sb["cov_present_on_both_strands"]
+        need_detail = cfg.need_sb_detail
+        for i, a in enumerate(alleles):
+            a.noise_level_applied = (int(per_allele_noise[i])
+                                     if per_allele_noise is not None
+                                     else flat_noise)
+            a.variant_qscore = int(q[i])
+            a.strand_bias_score = float(bias_score[i])
+            a.strand_bias_gatk = float(gatk[i])
+            a.strand_bias_acceptable = bool(acceptable[i])
+            a.var_present_on_both_strands = bool(var_both[i])
+            a.cov_present_on_both_strands = bool(cov_both[i])
+            if need_detail:
+                a.sb_detail = _SbSliceView(sb, i)
+
+        if cfg.amplicon_bias_filter_threshold is not None:
+            from pisces_tpu.ops.amplicon_bias import calculate_amplicon_bias
+            for a in alleles:
+                if a.category != AlleleCategory.SNV:
+                    continue
                 support_by_amp = getattr(a, "support_by_amplicon", None) or {}
                 cov_by_amp = source.get_amplicon_coverage(a.position)
                 ab = calculate_amplicon_bias(
@@ -199,7 +374,42 @@ class AlleleCaller:
                     a.amplicon_bias_detected = ab["bias_detected"]
                     a.amplicon_bias_results = ab["results"]
 
-        self._apply_filters(a)
+    def _qscore_batch_device(self, sup_by_dir, cov_by_dir, cov, noise_level,
+                             n, ref_support, num_no_calls):
+        """Score a large candidate batch through the fused XLA kernel
+        (ops/jax_scoring.score_snv_loci), padded to a power-of-two tile;
+        returns the integer q-scores (exact vs the host f64 path)."""
+        import jax
+        from pisces_tpu.ops.jax_scoring import ScoringParams, score_snv_loci
+        cfg = self.config
+        params = ScoringParams(
+            noise_level=noise_level,
+            max_variant_qscore=cfg.max_variant_qscore,
+            min_variant_qscore=cfg.min_variant_qscore,
+            variant_qscore_filter=cfg.variant_qscore_filter_threshold or 0,
+            min_frequency=cfg.min_frequency,
+            min_frequency_filter=cfg.min_frequency_filter,
+            target_lod=cfg.target_lod_frequency,
+            min_depth=cfg.min_depth_to_genotype,
+            low_depth_filter=cfg.low_depth_filter or 0,
+            min_gq=cfg.min_gq_score, max_gq=cfg.max_gq_score,
+            sb_acceptance=cfg.strand_bias_filter_threshold,
+            no_call_filter=cfg.no_call_filter_threshold or 1.0)
+        pad = max(128, 1 << (n - 1).bit_length())
+        sup_p = np.zeros((pad, 3), np.int32)
+        cov_p = np.zeros((pad, 3), np.int32)
+        tot_p = np.zeros(pad, np.int32)
+        ref_p = np.zeros(pad, np.int32)
+        nc_p = np.zeros(pad, np.int32)
+        sup_p[:n] = sup_by_dir
+        cov_p[:n] = cov_by_dir
+        tot_p[:n] = cov
+        ref_p[:n] = ref_support
+        nc_p[:n] = num_no_calls
+        out = score_snv_loci(jax.device_put(sup_p), jax.device_put(cov_p),
+                             jax.device_put(ref_p), jax.device_put(nc_p),
+                             jax.device_put(tot_p), params)
+        return np.asarray(out["variant_qscore"])[:n].astype(np.int64)
 
     def _apply_filters(self, a: CalledAllele) -> None:
         """AlleleProcessor.Process/ApplyFilters (AlleleProcessor.cs:16-71)."""
@@ -290,10 +500,11 @@ class AlleleCaller:
                                                  max_position)
             leftover = self.collapser.not_cleared
 
-        for cand in candidates:
-            variant = map_candidate(cand)
+        mapped = [map_candidate(cand) for cand in candidates]
+        self.process_variants_batch(
+            source, [v for v in mapped if v.category == AlleleCategory.MNV])
+        for variant in mapped:
             if variant.category == AlleleCategory.MNV:
-                self.process_variant(source, variant)
                 if self._is_callable(variant):
                     callable_alleles.append(variant)
                 else:
@@ -313,8 +524,8 @@ class AlleleCaller:
                 callable_alleles.append(failed)
 
         by_position: Dict[int, List[CalledAllele]] = {}
+        self.process_variants_batch(source, callable_alleles)
         for a in callable_alleles:
-            self.process_variant(source, a)
             if self._is_forced(a) and not (self._is_callable(a) and self._should_report(a)):
                 a.is_forced_to_report = True
                 a.add_filter(FilterType.FORCED_REPORT)

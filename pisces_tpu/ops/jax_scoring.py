@@ -301,8 +301,11 @@ def score_snv_loci(support_by_dir, cov_by_dir, ref_support, num_no_calls,
         "variant_qscore": q,
         "genotype": gt,
         "gq": gq,
+        "sb_score": sb_score,
         "sb_gatk": sb_gatk,
         "sb_acceptable": sb_ok,
+        "sb_var_both": var_both,
+        "sb_cov_both": cov_both,
         "filter_bits": fb,
         "fraction_no_calls": frac_nc,
     }
