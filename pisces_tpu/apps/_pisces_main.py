@@ -137,6 +137,14 @@ def build_parser() -> argparse.ArgumentParser:
     a("-windowsize", type=int, default=0,
       help="stream chromosomes in windows of this many bases via the .bai "
            "index (bounded memory for WGS-scale inputs); 0 = whole-chromosome")
+    a("-meshdevices", type=int, default=0,
+      help="shard the dense per-locus scoring over an N-device (dp, sp) "
+           "mesh with read routing + halo exchange; 0 = single device")
+    a("-multihost", default="false",
+      help="run as one process of a jax.distributed multi-host job "
+           "(coordinator/pid via JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, "
+           "JAX_PROCESS_ID); chromosomes partition across hosts, host 0 "
+           "merges the per-chromosome shards")
     a("-profiledir", default=None,
       help="capture a JAX profiler trace (TensorBoard format) of the run "
            "into this directory")
@@ -175,6 +183,7 @@ def options_from_args(args, argv) -> PiscesApplicationOptions:
     o.use_stitched_xd_info = _b(args.usestitchedxd)
     o.tracked_anchor_size = args.trackedanchorsize
     o.window_size = args.windowsize
+    o.mesh_devices = args.meshdevices
 
     bf = o.bam_filter_parameters
     bf.minimum_base_call_quality = args.minbq

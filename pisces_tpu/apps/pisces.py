@@ -71,10 +71,13 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
 
     from pisces_tpu.pileup.counts import candidate_anchor_positions
     from pisces_tpu.io.native import NativeBamReader, native_pileup
+    mesh_mode = options.mesh_devices > 1
+    mesh_events = None
     native_flow = (isinstance(bam, NativeBamReader)
                    and getattr(batch, "_from_native_handle", False)
                    and not options.call_mnvs and not track_amplicons
-                   and batch.extra_tags is None)
+                   and batch.extra_tags is None
+                   and not mesh_mode)  # mesh scoring shards the event stream
     if native_flow:
         # C++ hot loop: events + scatter + SNV mismatch extraction in one pass
         from pisces_tpu.domain.types import BASE_TO_ALLELE
@@ -108,7 +111,7 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             track_amplicons=track_amplicons)
         anchor_positions = candidate_anchor_positions(candidates)
         if isinstance(bam, NativeBamReader) and getattr(
-                batch, "_from_native_handle", False):
+                batch, "_from_native_handle", False) and not mesh_mode:
             if base_dirs is not None:
                 base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
             pc, _mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
@@ -118,6 +121,7 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             ev = build_base_events(batch, keep, bf.minimum_base_call_quality,
                                    options.tracked_anchor_size,
                                    base_dirs=base_dirs)
+            mesh_events = ev if mesh_mode else None
             builder = build_counts_device if use_device else build_counts_host
             pc = builder(ev, anchor_size=options.tracked_anchor_size,
                          anchored_positions=anchor_positions)
@@ -149,10 +153,14 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             candidates.append(fc)
 
     fast_gvcf = (options.vcf_writing_parameters.output_gvcf_file
-                 and intervals is None
+                 and options.use_fast_gvcf
                  and not options.call_mnvs
                  and not options.vcf_writing_parameters.report_rc_counts
-                 and not forced_alleles)
+                 # crushed loci merge ref+forced alleles into one line,
+                 # which needs the object path's colocated writer
+                 and (options.vcf_writing_parameters
+                      .allow_multiple_vcf_lines_per_loci
+                      or not forced_alleles))
     if options.vcf_writing_parameters.output_gvcf_file and not fast_gvcf:
         candidates = candidates + make_reference_candidates(
             chrom.name, chrom.sequence, pc, intervals)
@@ -207,8 +215,20 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             sb_acceptance=v.strand_bias_acceptance_criteria,
             no_call_filter=v.no_call_filter_threshold)
         with metrics.stage("gvcf_scoring"):
-            positions, scored = score_reference_positions(
-                pc, chrom.sequence, params, use_device=use_device)
+            if mesh_mode and mesh_events is not None and intervals is None:
+                from pisces_tpu.parallel.sharding import (
+                    get_mesh, sharded_score_reference_positions,
+                )
+                positions, scored, shard_stats = \
+                    sharded_score_reference_positions(
+                        mesh_events, chrom.sequence, params,
+                        get_mesh(options.mesh_devices))
+                for _sk, _sv in shard_stats.items():
+                    metrics.count(_sk, _sv)
+            else:
+                positions, scored = score_reference_positions(
+                    pc, chrom.sequence, params, use_device=use_device,
+                    intervals=intervals)
         metrics.count("loci_scored", len(positions))
         if use_device:
             metrics.device_watermark()
@@ -233,7 +253,10 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
 def write_spliced(writer, variant_alleles, ref_lines) -> None:
     """Merge the columnar reference-line stream with object-path variant
     alleles, in position order; ref lines at emitted-variant positions are
-    pruned (ComputeGenotypeAndFilterAllele ref-pruning semantics)."""
+    pruned (ComputeGenotypeAndFilterAllele ref-pruning semantics) UNLESS
+    every variant there is forced-to-report — the reference keeps the
+    locus's reference allele when only forced alleles coexist
+    (AlleleCaller.cs:143-150 guards the prune on a non-forced variant)."""
     variant_positions = {}
     for a in variant_alleles:
         variant_positions.setdefault(a.position, []).append(a)
@@ -248,15 +271,35 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     for pos in sorted(set(variant_positions) | set(int(p) for p in positions)):
         while ri < n_ref and int(positions[ri]) < pos:
             ri += 1
+        has_ref_line = ri < n_ref and int(positions[ri]) == pos
         if pos in variant_positions:
+            at_pos = variant_positions[pos]
+            all_forced = all(getattr(a, "is_forced_to_report", False)
+                             for a in at_pos)
+            keep_ref = has_ref_line and all_forced
             if writer.config.allow_multiple_vcf_lines_per_loci:
-                for a in variant_positions[pos]:
+                # locus ordering is by (ref, alt) with the reference line
+                # keyed by its base (AlleleCaller.cs:172-176 sort)
+                ref_key = None
+                if keep_ref:
+                    ref_base = lines[ri].split("\t", 4)[3]
+                    ref_key = (ref_base, ref_base)
+                wrote_ref = False
+                for a in at_pos:
+                    if (ref_key is not None and not wrote_ref
+                            and ref_key <= (a.ref_allele, a.alt_allele)):
+                        fh.write(lines[ri] + "\n")
+                        wrote_ref = True
                     writer.write_colocated([a])
+                if ref_key is not None and not wrote_ref:
+                    fh.write(lines[ri] + "\n")
             else:
-                writer.write_colocated(variant_positions[pos])
-            if ri < n_ref and int(positions[ri]) == pos:
-                ri += 1  # prune the ref line at a variant position
-        elif ri < n_ref and int(positions[ri]) == pos:
+                if keep_ref:
+                    fh.write(lines[ri] + "\n")
+                writer.write_colocated(at_pos)
+            if has_ref_line:
+                ri += 1
+        elif has_ref_line:
             fh.write(lines[ri] + "\n")
             ri += 1
 
@@ -406,7 +449,14 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             intervals = _load_intervals(options, chrom_name)
             t0 = time.time()
             windowed = False
-            if options.window_size > 0 and intervals is None:
+            # windowed mode requires either no intervals, plain-VCF output,
+            # or the columnar fast-gVCF path (which folds RegionMapper
+            # interval padding into its per-window reference lines)
+            fast_eligible = (gvcf and not options.call_mnvs
+                             and not options.vcf_writing_parameters
+                             .report_rc_counts)
+            win_ok = intervals is None or not gvcf or fast_eligible
+            if options.window_size > 0 and win_ok:
                 from pisces_tpu.io.bam import BamReader as PyBamReader
                 if os.path.exists(bam_path + ".bai"):
                     lazy = PyBamReader(bam_path, lazy=True)
@@ -415,8 +465,8 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
                     alleles_all = []
                     for (w_alleles, w_refs), _w0, _w1 in \
                             call_chromosome_windowed(
-                                options, chrom, lazy, rid, None, use_device,
-                                forced_alleles, priors):
+                                options, chrom, lazy, rid, intervals,
+                                use_device, forced_alleles, priors):
                         write_spliced(writer, w_alleles, w_refs)
                         alleles_all.extend(w_alleles)
                     alleles = alleles_all
@@ -482,7 +532,14 @@ def main(argv=None) -> int:
 
     def _execute_inner() -> int:
         genome = Genome(args.genome)
-        if _b(args.multiprocess) and not _b(args.insidesubprocess):
+        if _b(args.multihost):
+            from pisces_tpu.parallel.multihost import process_bam_multihost
+            for bam_path in bam_paths:
+                out = process_bam_multihost(options, bam_path, args.genome,
+                                            use_device=use_device)
+                if out:
+                    log(f"wrote {out}")
+        elif _b(args.multiprocess) and not _b(args.insidesubprocess):
             from pisces_tpu.parallel.scheduler import (
                 process_chromosomes_multiprocess,
             )

@@ -33,8 +33,16 @@ _GT_STR = {
 
 
 def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
-                              params, use_device: bool = True):
-    """Score all touched positions with total support > 0.
+                              params, use_device: bool = True,
+                              intervals=None):
+    """Score gVCF reference loci columnar.
+
+    Without intervals: every touched position with any count. With an
+    interval set: EVERY interval position (clipped to the chromosome),
+    whether covered or not — zero-count rows score to the same no-call line
+    the reference's RegionMapper pads (RegionMapper.cs:31-85), so interval
+    padding and in-block zero-coverage synthesis unify into one columnar
+    pass (RegionState.GetAllCandidates interval clipping, cs:393-400).
 
     Returns (positions[int64], scored) where scored holds UNIQUE-tuple
     outputs plus the per-position inverse index: every scoring output is a
@@ -48,38 +56,70 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
     from pisces_tpu.domain.types import BASE_TO_ALLELE, COVERAGE_CONTRIBUTING_ALLELES
 
     nb = len(pc.block_keys)
-    if nb == 0:
+    if intervals is not None:
+        ranges = intervals.clipped_ranges(1, len(refseq))
+        if not ranges:
+            return np.empty(0, np.int64), None
+        positions = np.concatenate(
+            [np.arange(rs, re_ + 1, dtype=np.int64) for rs, re_ in ranges])
+        rows = pc.pos_index(positions) if nb else np.full(len(positions), -1)
+        if pc.pos_tuples is not None:
+            tup = np.zeros((len(positions), pc.pos_tuples.shape[1]),
+                           pc.pos_tuples.dtype)
+            hit = rows >= 0
+            tup[hit] = pc.pos_tuples[rows[hit]]
+            all_support_by_dir = tup[:, :3]
+            all_cov_by_dir = tup[:, 3:6]
+        else:
+            flat = pc.counts_t.reshape(nb * pc.block_size,
+                                       *pc.counts_t.shape[2:]) if nb else None
+            counts = np.zeros((len(positions),) + tuple(pc.counts_t.shape[2:]),
+                              pc.counts_t.dtype)
+            hit = rows >= 0
+            if flat is not None:
+                counts[hit] = flat[rows[hit]]
+            ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
+            cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
+            all_cov_by_dir = counts[:, cov_alleles, :].sum(axis=1)
+            all_support_by_dir = counts[np.arange(len(counts)), ref_codes, :]
+    elif nb == 0:
         return np.empty(0, np.int64), None
-    block_size = pc.block_size
-    starts = (pc.block_keys - 1) * block_size + 1
-    positions = (starts[:, None] + np.arange(block_size)[None, :]).reshape(-1)
-    in_ref = positions <= len(refseq)
-
-    if pc.pos_tuples is not None:
-        tup = pc.pos_tuples
-        total_support = tup[:, 3:7].sum(axis=1)  # cov(3) + N total
-        sel = (total_support > 0) & in_ref
-        tup = tup[sel]
-        all_support_by_dir = tup[:, :3]
-        all_cov_by_dir = tup[:, 3:6]
-        positions = positions[sel]
-        if len(positions) == 0:
-            return positions, None
     else:
-        counts = pc.counts_t.reshape(nb * block_size,
-                                     *pc.counts_t.shape[2:])
-        total_support = counts.sum(axis=(1, 2))
-        sel = (total_support > 0) & in_ref
-        positions = positions[sel]
-        counts = counts[sel]
-        if len(positions) == 0:
-            return positions, None
-        ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
-        cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
-        all_cov_by_dir = counts[:, cov_alleles, :].sum(axis=1)
-        all_support_by_dir = counts[np.arange(len(counts)), ref_codes, :]
+        block_size = pc.block_size
+        starts = (pc.block_keys - 1) * block_size + 1
+        positions = (starts[:, None] + np.arange(block_size)[None, :]).reshape(-1)
+        in_ref = positions <= len(refseq)
 
-    uniq, inv = _unique_tuples(all_support_by_dir, all_cov_by_dir)
+        if pc.pos_tuples is not None:
+            tup = pc.pos_tuples
+            total_support = tup[:, 3:7].sum(axis=1)  # cov(3) + N total
+            sel = (total_support > 0) & in_ref
+            tup = tup[sel]
+            all_support_by_dir = tup[:, :3]
+            all_cov_by_dir = tup[:, 3:6]
+            positions = positions[sel]
+            if len(positions) == 0:
+                return positions, None
+        else:
+            counts = pc.counts_t.reshape(nb * block_size,
+                                         *pc.counts_t.shape[2:])
+            total_support = counts.sum(axis=(1, 2))
+            sel = (total_support > 0) & in_ref
+            positions = positions[sel]
+            counts = counts[sel]
+            if len(positions) == 0:
+                return positions, None
+            ref_codes = BASE_TO_ALLELE[refseq[positions - 1]].astype(np.int32)
+            cov_alleles = np.array([int(a) for a in COVERAGE_CONTRIBUTING_ALLELES])
+            all_cov_by_dir = counts[:, cov_alleles, :].sum(axis=1)
+            all_support_by_dir = counts[np.arange(len(counts)), ref_codes, :]
+    if len(positions) == 0:
+        return positions, None
+
+    pad_flag = None
+    if intervals is not None:
+        pad_flag = (rows < 0).astype(np.int64)
+    uniq, inv = _unique_tuples(all_support_by_dir, all_cov_by_dir, pad_flag)
 
     if use_device:
         import jax
@@ -90,31 +130,51 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
         sup_p = np.zeros((upad, 3), np.int32)
         cov_p = np.zeros((upad, 3), np.int32)
         sup_p[:u] = uniq[:, :3]
-        cov_p[:u] = uniq[:, 3:]
+        cov_p[:u] = uniq[:, 3:6]
         out_u = score_reference_tuples(jax.device_put(sup_p),
                                        jax.device_put(cov_p), params)
         keep_keys = ("total_coverage", "support", "variant_qscore",
                      "frequency", "genotype", "gq", "sb_gatk")
         out = {k: np.asarray(out_u[k])[:u] for k in keep_keys}
     else:
-        out = _score_host_tuples(uniq[:, :3], uniq[:, 3:], params)
+        out = _score_host_tuples(uniq[:, :3], uniq[:, 3:6], params)
+    if pad_flag is not None:
+        out["is_padding"] = uniq[:, 6].astype(bool)
     out["inv"] = inv
     out["ref_base"] = refseq[positions - 1]
     return positions, out
 
 
-def _unique_tuples(support_by_dir, cov_by_dir):
-    """np.unique over the per-locus 6-tuples, packed into one int64 when
+def _unique_tuples(support_by_dir, cov_by_dir, extra=None):
+    """np.unique over the per-locus tuples, packed into one int64 when
     values fit in 10 bits (the common case): a 1-D unique is ~20x faster
-    than unique(axis=0)'s void-dtype row sort."""
-    key = np.concatenate([support_by_dir, cov_by_dir], axis=1)
-    hi = int(key.max(initial=0))
-    if 0 <= int(key.min(initial=0)) and hi < (1 << 10):
+    than unique(axis=0)'s void-dtype row sort.
+
+    extra: optional int column (small, e.g. a 0/1 padding flag) appended to
+    the dedup key so rows with identical counts but different formatting
+    semantics (RegionMapper padding sets NL, in-block zero rows don't) stay
+    distinct unique tuples. Returned uniq has 6 (+1) columns.
+    """
+    cols = [support_by_dir, cov_by_dir]
+    if extra is not None:
+        cols.append(np.asarray(extra).reshape(-1, 1))
+    key = np.concatenate(cols, axis=1)
+    k = key.shape[1]
+    hi = int(key[:, :6].max(initial=0))
+    flag_ok = extra is None or (0 <= int(key[:, 6:].min(initial=0))
+                                and int(key[:, 6:].max(initial=0)) < 2)
+    if 0 <= int(key[:, :6].min(initial=0)) and hi < (1 << 10) and flag_ok:
+        # 6 count fields x 10 bits + optional 1-bit flag = 61 bits
         packed = np.zeros(len(key), dtype=np.int64)
         for j in range(6):
             packed = (packed << 10) | key[:, j].astype(np.int64)
+        if extra is not None:
+            packed = (packed << 1) | key[:, 6].astype(np.int64)
         u, inv = np.unique(packed, return_inverse=True)
-        uniq = np.empty((len(u), 6), dtype=np.int64)
+        uniq = np.empty((len(u), k), dtype=np.int64)
+        if extra is not None:
+            uniq[:, 6] = u & 1
+            u = u >> 1
         for j in range(5, -1, -1):
             uniq[:, j] = u & 0x3FF
             u = u >> 10
@@ -195,6 +255,8 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
                           support.astype(np.float32)
                           / np.maximum(total, 1).astype(np.float32), 1.0))
 
+    is_pad = out.get("is_padding")
+
     u = len(total)
     tails = [""] * u
     for i in range(u):
@@ -202,10 +264,16 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
         vf_s = dotnet_format(float(vf[i]), freq_digits)
         if include_sb:
             sb_s = dotnet_format(float(gatk[i]), 4)
+            # zero-support alleles never reach the scoring batch in the
+            # object path, so their NoiseLevelApplied stays at default 0 —
+            # EXCEPT RegionMapper interval padding, which stamps the
+            # configured noise level (RegionMapper.cs empty-call synthesis)
+            nl_i = nl if (support[i] > 0
+                          or (is_pad is not None and is_pad[i])) else 0
             tails[i] = (f"\t.\t{q[i]}\t{filt_lut[filt_code[i]]}\t"
                         f"DP={total[i]}\tGT:GQ:AD:DP:VF:NL:SB\t"
                         f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}:"
-                        f"{nl}:{sb_s}")
+                        f"{nl_i}:{sb_s}")
         else:
             tails[i] = (f"\t.\t{q[i]}\t{filt_lut[filt_code[i]]}\t"
                         f"DP={total[i]}\tGT:GQ:AD:DP:VF\t"

@@ -168,6 +168,14 @@ class PiscesApplicationOptions:
     # .bai index so WGS-scale inputs stream with bounded memory (0 = off)
     window_size: int = 0
     window_margin: int = 2000
+    # TPU-build extension: shard the dense per-locus scoring over an
+    # N-device (dp, sp) mesh with read-routing + ppermute halo exchange
+    # (parallel/sharding.py); 0/1 = single-device
+    mesh_devices: int = 0
+    # TPU-build extension: columnar gVCF reference-line path (calling/
+    # fast_gvcf.py); False forces the per-candidate object path (the
+    # byte-parity oracle the fast path is tested against)
+    use_fast_gvcf: bool = True
 
     bam_filter_parameters: BamFilterParameters = field(default_factory=BamFilterParameters)
     variant_calling_parameters: VariantCallingParameters = field(

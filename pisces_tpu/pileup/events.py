@@ -36,6 +36,10 @@ class BaseEvents:
     anchor: np.ndarray     # int8  [E] anchor index in [0, 2A]
     qerr: np.ndarray       # float32 [E] 10^(-q/10); 0 for deletion events
     is_deletion_gap: np.ndarray  # bool [E] True for gap/terminal deletion events
+    read_start: np.ndarray = None  # int64 [E] 1-based start of the source read
+    # (shard routing key for mesh execution: all events of a read are owned
+    # by the position shard containing the read's start, mirroring the
+    # reference's read-to-block ingestion at RegionStateManager.cs:118-220)
 
 
 @dataclass
@@ -181,7 +185,7 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
     d_anchor = anchor[rep]  # anchor of the current (following) base
 
     # --- terminal deletion events -------------------------------------------
-    t_gpos_l, t_dir_l, t_anchor_l = [], [], []
+    t_gpos_l, t_dir_l, t_anchor_l, t_start_l = [], [], [], []
     # vectorized pre-filter: only reads whose cigar ends in D (or D before S)
     n_ops = np.diff(batch.cigar_off)
     last_i = np.maximum(batch.cigar_off[1:] - 1, 0)
@@ -226,10 +230,12 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
         t_gpos_l.append(np.arange(last_mapped + 1, last_mapped + dlen + 1, dtype=np.int64))
         t_dir_l.append(np.full(dlen, t_direction, dtype=np.int8))
         t_anchor_l.append(np.full(dlen, num_idx - 1, dtype=np.int8))
+        t_start_l.append(np.full(dlen, start1[i], dtype=np.int64))
 
     t_gpos = np.concatenate(t_gpos_l) if t_gpos_l else np.empty(0, np.int64)
     t_dir = np.concatenate(t_dir_l) if t_dir_l else np.empty(0, np.int8)
     t_anchor = np.concatenate(t_anchor_l) if t_anchor_l else np.empty(0, np.int8)
+    t_start = np.concatenate(t_start_l) if t_start_l else np.empty(0, np.int64)
 
     n_del = len(d_gpos) + len(t_gpos)
     gpos = np.concatenate([m_gpos, d_gpos, t_gpos])
@@ -241,5 +247,7 @@ def build_base_events(batch: ReadBatch, keep: np.ndarray, min_base_quality: int,
     anchor_all = np.concatenate([anchor, d_anchor, t_anchor])
     qerr_all = np.concatenate([qerr, np.zeros(n_del, dtype=np.float32)])
     is_del = np.concatenate([np.zeros(len(m_gpos), bool), np.ones(n_del, bool)])
+    read_start = np.concatenate([start1[m_read], start1[m_read[rep]], t_start])
 
-    return BaseEvents(gpos, allele_all, dir_all, anchor_all, qerr_all, is_del)
+    return BaseEvents(gpos, allele_all, dir_all, anchor_all, qerr_all, is_del,
+                      read_start)
