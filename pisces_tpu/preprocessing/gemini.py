@@ -63,6 +63,12 @@ class GeminiOptions:
     keep_both_side_softclips: bool = False
     nify_disagreements: bool = False      # StitcherOptions.cs:17
     max_read_length: int = 1024           # StitcherOptions.cs:24
+    use_softclipped_bases: bool = True    # StitcherOptions.cs:13
+    stitch_probe_softclips: bool = False  # StitcherOptions.cs:21 (inverted
+    #                                       into ignoreProbeSoftclips)
+    dont_stitch_homopolymer_bridge: bool = True  # StitcherOptions.cs:26
+    max_num_disagreeing_bases: Optional[int] = None  # StitcherOptions.cs:29
+    count_ns_toward_disagreements: bool = False      # StitcherOptions.cs:30
     chromosomes: tuple = ()               # Chromosomes= filter
     num_softclips_messy: int = 8          # NumSoftclipsToBeConsideredMessy
     num_mismatches_messy: int = 3         # NumMismatchesToBeConsideredMessy
@@ -299,10 +305,20 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
             (i1, p1, c1, s1, q1), (i2, p2, c2, s2, q2) = \
                 (i2, p2, c2, s2, q2), (i1, p1, c1, s1, q1)
         r1_reverse = bool(batch.flag[i1] & FLAG_REVERSE)
-        result = stitch_reads(p1, c1, s1, q1, p2, c2, s2, q2, r1_reverse,
-                              options.min_base_call_quality,
-                              nify_disagreements=options.nify_disagreements,
-                              max_read_length=options.max_read_length)
+        result = stitch_reads(
+            p1, c1, s1, q1, p2, c2, s2, q2, r1_reverse,
+            options.min_base_call_quality,
+            nify_disagreements=options.nify_disagreements,
+            use_softclipped_bases=options.use_softclipped_bases,
+            dont_stitch_homopolymer_bridge=
+            options.dont_stitch_homopolymer_bridge,
+            max_read_length=options.max_read_length,
+            ignore_probe_softclips=not options.stitch_probe_softclips,
+            r1_is_first_mate=bool(batch.flag[i1] & 0x40),
+            threshold_num_disagreeing_bases=
+            options.max_num_disagreeing_bases,
+            count_ns_toward_disagreements=
+            options.count_ns_toward_disagreements)
         stitch_attempted.update(members)
         if result is not None:
             stats["stitched_pairs"] += 1
@@ -348,7 +364,11 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
     from pisces_tpu.io.bam import BamReader
 
     options = options or GeminiOptions()
-    out_path = out_path or bam_path.replace(".bam", ".gemini.bam")
+    if out_path is None:
+        out_path = bam_path.replace(".bam", ".gemini.bam")
+    elif os.path.isdir(out_path):
+        # reference -OutFolder semantics: write <folder>/<bam name>
+        out_path = os.path.join(out_path, os.path.basename(bam_path))
     genome = Genome(genome_dir)
     reader = BamReader(bam_path)  # python reader (we need read names)
     names = _read_names(reader)
@@ -415,7 +435,11 @@ def run_gemini_multi(bam_path: str, genome_dir: str,
     from pisces_tpu.io.bam import BamReader
 
     options = options or GeminiOptions()
-    out_path = out_path or bam_path.replace(".bam", ".gemini.bam")
+    if out_path is None:
+        out_path = bam_path.replace(".bam", ".gemini.bam")
+    elif os.path.isdir(out_path):
+        # reference -OutFolder semantics: write <folder>/<bam name>
+        out_path = os.path.join(out_path, os.path.basename(bam_path))
     genome = Genome(genome_dir)
     header = BamReader(bam_path).header
     chroms = [c for c in genome.chromosome_names if c in header.ref_names
@@ -510,6 +534,11 @@ def main(argv=None) -> int:
     a("-skipandremovedups", default="true")
     a("-nifydisagreement", default="false")
     a("-maxreadlength", type=int, default=1024)
+    a("-usesoftclippedbases", default="true")
+    a("-stitchprobesoftclips", default="false")
+    a("-dontstitchrepeatoverlap", default="true")
+    a("-maxnumdisagreeingstitchedbases", type=int, default=None)
+    a("-countnstowarddisagreeingbases", default="false")
     a("-numsoftclipstobeconsideredmessy", type=int, default=8)
     a("-nummismatchestobeconsideredmessy", type=int, default=3)
     a("-messymapq", type=int, default=30)
@@ -538,8 +567,7 @@ def main(argv=None) -> int:
                  "-avoidlikelysnvs",
                  "-softclipunknownindels", "-remaskmessysoftclips",
                  "-maskpartialinsertion", "-checksoftclipsformismatches",
-                 "-countnstowarddisagreeingbases", "-dontstitchrepeatoverlap",
-                 "-maxnumdisagreeingstitchedbases", "-stringtagstokeepfromr1",
+                 "-stringtagstokeepfromr1",
                  "-filterforproperpairs", "-filterpairlowmapq",
                  "-filterpairunmapped", "-treatabnormalorientationasimproper",
                  "-ignorereadsabovemaxlength",
@@ -562,6 +590,12 @@ def main(argv=None) -> int:
     options.skip_and_remove_dups = _b(args.skipandremovedups)
     options.nify_disagreements = _b(args.nifydisagreement)
     options.max_read_length = args.maxreadlength
+    options.use_softclipped_bases = _b(args.usesoftclippedbases)
+    options.stitch_probe_softclips = _b(args.stitchprobesoftclips)
+    options.dont_stitch_homopolymer_bridge = _b(args.dontstitchrepeatoverlap)
+    options.max_num_disagreeing_bases = args.maxnumdisagreeingstitchedbases
+    options.count_ns_toward_disagreements = \
+        _b(args.countnstowarddisagreeingbases)
     options.num_softclips_messy = args.numsoftclipstobeconsideredmessy
     options.num_mismatches_messy = args.nummismatchestobeconsideredmessy
     options.messy_mapq = args.messymapq

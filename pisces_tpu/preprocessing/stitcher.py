@@ -1,26 +1,41 @@
 """Read-pair stitching: merge overlapping R1/R2 into one stitched read.
 
-Port of the StitchingLogic layer (BasicStitcher.TryStitch
-BasicStitcher.cs:68-211, CigarReconciler site-by-site reconciliation,
-ReadMerger base/quality consensus with N-ify of disagreements,
-OverlapEvaluator homopolymer-bridge rejection). The stitched read carries an
-XD direction string (F/S/R segments) consumed by the caller's stitched
-pileup path.
+CigarReconciler-grade port of the StitchingLogic layer:
+  - BasicStitcher.TryStitch gates (IsStitchable span check, disagreement
+    threshold, homopolymer-bridge rejection)       BasicStitcher.cs:68-211
+  - the super-simple fast path for S?M S? cigars   CigarReconciler.cs:91-293
+  - the site-by-site dual-cursor reconciliation:
+    per-reference-offset StitchedPositions with UnmappedPrefix (S/I) and
+    MappedSite (M/D) op lists per read, bookending-softclip redistribution
+    across the other read's further-extending ops (softclip-vs-M
+    reconciliation, terminal clips supporting overlapping deletions),
+    combined-op resolution (S yields to M/I/D), incompatible-insertion and
+    empty-gap and internal-softclip rejection      CigarReconciler.cs:434-1328
+  - base/quality consensus incl. the reference's disagreement rules
+    (agree: summed quality capped at 93; disagree: N-ify, or the
+    quality/first-mate winner with "dangerous high-Q disagreement" zeroing)
+  - OverlapEvaluator repeat-unit scan              OverlapEvaluator.cs:1-292
+
+The stitched read carries an XD direction string (F/S/R segments) consumed
+by the caller's stitched pileup path.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
-
-import numpy as np
 
 MAX_BASE_QUALITY = 93
 OP_M, OP_I, OP_D, OP_N, OP_S = 0, 1, 2, 3, 4
+_OP_CHAR = {OP_M: "M", OP_I: "I", OP_D: "D", OP_N: "N", OP_S: "S",
+            7: "M", 8: "M"}
+_CHAR_OP = {"M": OP_M, "I": OP_I, "D": OP_D, "N": OP_N, "S": OP_S}
+_READ_SPAN = frozenset("MIS=X")
+_REF_SPAN = frozenset("MDN=X")
 
 
 @dataclass
 class StitchedRead:
-    pos1: int                 # 1-based leftmost mapped position
+    pos1: int                 # 1-based position (min of the mates')
     cigar: List[Tuple[int, int]]
     seq: str
     qual: List[int]
@@ -30,64 +45,582 @@ class StitchedRead:
     num_n_disagreements: int
 
 
-@dataclass
-class _Item:
-    """One expanded base/op slot keyed by reference walk position."""
-    key: Tuple[int, int, int]   # (ref_pos, phase, ins_index); phase orders I before M at same pos boundary
-    op: int
-    base: Optional[str]
-    qual: Optional[int]
+# ---------------------------------------------------------------------------
+# cigar helpers
+# ---------------------------------------------------------------------------
+
+def _chars(cigar) -> List[str]:
+    out = []
+    for op, ln in cigar:
+        out.extend(_OP_CHAR.get(op, "?") * ln)
+    return out
 
 
-def _expand(pos1: int, cigar: List[Tuple[int, int]], seq: str,
-            quals, use_softclipped: bool) -> List[_Item]:
-    """Expand a read to reference-anchored items. Softclips get imputed
-    (clip-adjusted) reference positions so they can participate in overlap."""
-    items: List[_Item] = []
-    ref = pos1  # next reference position to consume
-    idx = 0
+def _read_span(cigar) -> int:
+    return sum(ln for op, ln in cigar if _OP_CHAR.get(op, "?") in _READ_SPAN)
+
+
+def _ref_span(cigar) -> int:
+    return sum(ln for op, ln in cigar if _OP_CHAR.get(op, "?") in _REF_SPAN)
+
+
+def _prefix_clip(cigar) -> int:
+    n = 0
     for op, ln in cigar:
         if op == OP_S:
-            # impute positions: leading clips anchor before `ref`
-            start = ref - ln
-            for k in range(ln):
-                items.append(_Item((start + k, 1, 0),
-                                   OP_S if not use_softclipped else OP_M,
-                                   seq[idx], int(quals[idx])))
-                idx += 1
-            # trailing softclip: ref already advanced past the M ops;
-            # start = ref - ln is wrong for trailing. Handled by caller
-            # passing leading/trailing separately? Simpler: leading iff
-            # items empty before this op; we fix trailing below.
-        elif op in (OP_M, 7, 8):
-            for k in range(ln):
-                items.append(_Item((ref, 1, 0), OP_M, seq[idx], int(quals[idx])))
-                ref += 1
-                idx += 1
-        elif op == OP_I:
-            for k in range(ln):
-                items.append(_Item((ref, 0, k), OP_I, seq[idx], int(quals[idx])))
-                idx += 1
-        elif op in (OP_D, OP_N):
-            for k in range(ln):
-                items.append(_Item((ref, 1, 0), OP_D, None, None))
-                ref += 1
-    return items
+            n += ln
+        elif op != 5:  # hard clips don't interrupt
+            break
+    return n
 
 
-def _expand_fix_clips(pos1, cigar, seq, quals, use_softclipped):
-    """Correct trailing softclip anchoring after naive expansion."""
-    items = _expand(pos1, cigar, seq, quals, use_softclipped)
-    # find trailing soft-clip run in cigar to re-anchor
-    if cigar and cigar[-1][0] == OP_S:
-        ln = cigar[-1][1]
-        tail = items[-ln:]
-        ref_end = max((it.key[0] for it in items[:-ln] if it.op != OP_I),
-                      default=pos1 - 1)
-        for k, it in enumerate(tail):
-            it.key = (ref_end + 1 + k, it.key[1], it.key[2])
-    return items
+def _suffix_clip(cigar) -> int:
+    n = 0
+    for op, ln in reversed(cigar):
+        if op == OP_S:
+            n += ln
+        elif op != 5:
+            break
+    return n
 
+
+def _compress(expanded: List[str]) -> List[Tuple[str, int]]:
+    out: List[Tuple[str, int]] = []
+    for c in expanded:
+        if out and out[-1][0] == c:
+            out[-1] = (c, out[-1][1] + 1)
+        else:
+            out.append((c, 1))
+    return out
+
+
+def _has_internal_softclip(compressed: List[Tuple[str, int]]) -> bool:
+    ops = [c for c, _l in compressed]
+    for i, c in enumerate(ops):
+        if c == "S" and 0 < i < len(ops) - 1:
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# StitchingInfo accumulation
+# ---------------------------------------------------------------------------
+
+class _Info:
+    __slots__ = ("cigar", "dirs", "bases", "quals", "n_disagree", "n_agree",
+                 "n_ndis", "is_simple", "overlap_bases",
+                 "ignored_probe_prefix", "ignored_probe_suffix")
+
+    def __init__(self):
+        self.cigar: List[str] = []       # expanded op chars
+        self.dirs: List[str] = []        # expanded F/R/S per op
+        self.bases: List[str] = []
+        self.quals: List[int] = []
+        self.n_disagree = 0
+        self.n_agree = 0
+        self.n_ndis = 0
+        self.is_simple = False
+        self.overlap_bases = ""
+        self.ignored_probe_prefix = 0
+        self.ignored_probe_suffix = 0
+
+
+# ---------------------------------------------------------------------------
+# super-simple fast path (CigarReconciler.GetSuperDuperSimpleStitchedCigar)
+# ---------------------------------------------------------------------------
+
+def _simple_components(cigar):
+    """(prefixS, M, suffixS) for S?M S? cigars, else None."""
+    ops = [(op, ln) for op, ln in cigar if op != 5]
+    if len(ops) == 3 and ops[0][0] == OP_S and ops[1][0] == OP_M \
+            and ops[2][0] == OP_S:
+        return ops[0][1], ops[1][1], ops[2][1]
+    if len(ops) == 2:
+        if ops[0][0] == OP_S and ops[1][0] == OP_M:
+            return ops[0][1], ops[1][1], 0
+        if ops[0][0] == OP_M and ops[1][0] == OP_S:
+            return 0, ops[0][1], ops[1][1]
+    if len(ops) == 1 and ops[0][0] == OP_M:
+        return 0, ops[0][1], 0
+    return None
+
+
+def _super_simple(p1, cigar1, seq1, qual1, p2, cigar2, seq2, qual2,
+                  r1_is_reverse, r1_is_first_mate, min_bq,
+                  nify_disagreements) -> Optional[_Info]:
+    super_clean = (len(cigar1) == 1 and len(cigar2) == 1
+                   and cigar1[0][0] == OP_M and cigar2[0][0] == OP_M)
+    c1 = _simple_components(cigar1)
+    c2 = _simple_components(cigar2)
+    if c1 is None or c2 is None:
+        return None
+    sp1, m1, ss1 = c1
+    sp2, m2, ss2 = c2
+    if ss1 + sp2 > 0:
+        return None
+    pos_gap = p2 - p1
+    if (pos_gap > 0 and pos_gap > m1) or (pos_gap < 0 and -pos_gap > m2):
+        return None
+
+    r1_end = p1 + _ref_span(cigar1)
+    r2_end = p2 + _ref_span(cigar2)
+    if not (p2 < r1_end and r1_end <= r2_end):
+        return None
+    overlap = r1_end - p2
+    r1_len = len(seq1)
+    r1_first_overlap = r1_len - overlap
+    if (sp1 > 0 and sp1 >= r1_first_overlap) or (ss2 > 0 and m2 < overlap):
+        return None
+    if overlap <= 0:
+        return None
+    if not super_clean:
+        e1 = _chars(cigar1)
+        e2 = _chars(cigar2)
+        for i in range(overlap):
+            if e1[r1_first_overlap + i] != e2[i]:
+                return None
+
+    info = _Info()
+    info.is_simple = True
+    r1_before = r1_len - overlap
+    r2_after = len(seq2) - overlap
+    quals = [0] * (r1_len + r2_after)
+    for i in range(r1_before):
+        quals[i] = int(qual1[i])
+    stitched = list(seq1[r1_first_overlap:r1_first_overlap + overlap])
+    for i in range(overlap):
+        ai = i + r1_before
+        q1 = int(qual1[ai])
+        q2 = int(qual2[i])
+        b1 = seq1[r1_first_overlap + i]
+        b2 = seq2[i]
+        if b1 != b2:
+            if b1 == "N" or b2 == "N":
+                info.n_ndis += 1
+            else:
+                info.n_disagree += 1
+            if nify_disagreements:
+                q, b = 0, "N"
+            else:
+                if r1_is_first_mate:
+                    b, q = (b1, q1) if q1 >= q2 else (b2, q2)
+                else:
+                    b, q = (b2, q2) if q2 >= q1 else (b1, q1)
+                if q1 > min_bq and q2 > min_bq:
+                    q = 0
+            stitched[i] = b
+        else:
+            q = min(q1 + q2, MAX_BASE_QUALITY)
+            info.n_agree += 1
+        quals[ai] = q
+    for i in range(r2_after):
+        quals[i + r1_len] = int(qual2[i + overlap])
+
+    bases = seq1[:r1_before] + "".join(stitched) + seq2[overlap:]
+    info.bases = list(bases)
+    info.quals = quals
+    info.overlap_bases = "".join(stitched)
+    m_len = len(bases) - sp1 - ss2
+    info.cigar = (["S"] * sp1) + (["M"] * m_len) + (["S"] * ss2)
+    d1 = "R" if r1_is_reverse else "F"
+    d2 = "F" if r1_is_reverse else "R"
+    info.dirs = ([d1] * r1_before) + (["S"] * overlap) + ([d2] * r2_after)
+    return info
+
+
+# ---------------------------------------------------------------------------
+# site-by-site reconciliation (the general path)
+# ---------------------------------------------------------------------------
+
+class _Site:
+    """Per-read op lists at one stitch position (StitchedSite)."""
+
+    __slots__ = ("r1", "r2", "is_prefix", "is_suffix")
+
+    def __init__(self):
+        self.r1: List[Tuple[str, Optional[str], Optional[int]]] = []
+        self.r2: List[Tuple[str, Optional[str], Optional[int]]] = []
+        self.is_prefix = False
+        self.is_suffix = False
+
+    def ops(self, read1: bool):
+        return self.r1 if read1 else self.r2
+
+    def has_value(self) -> bool:
+        return bool(self.r1 or self.r2)
+
+    def has_ref_span(self, read1: bool) -> bool:
+        return any(op in _REF_SPAN for op, _b, _q in self.ops(read1))
+
+    def has_insertion(self, read1: bool) -> bool:
+        return any(op == "I" for op, _b, _q in self.ops(read1))
+
+
+class _Pos:
+    __slots__ = ("unmapped", "mapped")
+
+    def __init__(self):
+        self.unmapped = _Site()
+        self.mapped = _Site()
+
+
+def _add_read(positions: List[_Pos], expanded: List[str], bases: str,
+              quals, start_offset: int, read1: bool) -> None:
+    """AddR1ToList/AddR2ToList: ref-span ops land in MappedSite at
+    consecutive offsets; S/I ops pile into the UnmappedPrefix of the
+    current offset."""
+    ref_pos = start_offset
+    idx = 0
+    for op in expanded:
+        while ref_pos >= len(positions):
+            positions.append(_Pos())
+        if op in _REF_SPAN:
+            if op == "D" or op == "N":
+                item = (op, None, None)
+            else:
+                item = (op, bases[idx], int(quals[idx]))
+                idx += 1
+            positions[ref_pos].mapped.ops(read1).append(item)
+            ref_pos += 1
+        else:
+            item = (op, bases[idx], int(quals[idx]))
+            idx += 1
+            positions[ref_pos].unmapped.ops(read1).append(item)
+
+
+def _redistribute_softclips(positions: List[_Pos], operate_on_r1: bool,
+                            has_prefix_clip: bool, has_suffix_clip: bool,
+                            allow_terminal_clips_support_dels: bool) -> None:
+    """RedistributeSoftclips (CigarReconciler.cs:949-1167): spread a read's
+    bookending softclips across the other read's further-extending
+    positions so S-over-M overlaps reconcile 1:1 per site."""
+    this = operate_on_r1
+    other = not operate_on_r1
+    suffix_to_add: Optional[_Pos] = None
+
+    i = 0
+    while i < len(positions):
+        sp = positions[i]
+        nxt = positions[i + 1] if i + 1 < len(positions) else None
+        prv = positions[i - 1] if i > 0 else None
+
+        is_suffix = (i == len(positions) - 1
+                     or (nxt is not None and not nxt.unmapped.ops(this)
+                         and not nxt.mapped.ops(this)))
+        is_prefix = (i == 0
+                     or (prv is not None and not prv.unmapped.ops(this)
+                         and not prv.mapped.ops(this)))
+        if is_prefix:
+            is_suffix = False
+        if sp.unmapped.has_value():
+            sp.unmapped.is_prefix = is_prefix
+            sp.unmapped.is_suffix = is_suffix
+
+        if not is_prefix and not has_suffix_clip:
+            break
+        if not is_suffix and not has_prefix_clip:
+            i += 1
+            continue
+
+        if is_suffix:
+            ops_this = sp.unmapped.ops(this)
+            if len(ops_this) > len(sp.unmapped.ops(other)):
+                give = []
+                for item in reversed(ops_this):
+                    if item[0] == "S":
+                        give.append(item)
+                    else:
+                        break
+                give.reverse()
+                n_give = len(give)
+                del ops_this[len(ops_this) - n_give:]
+                count = 0
+                while give:
+                    j = i + count
+                    if j > len(positions) - 1:
+                        suffix_to_add = _Pos()
+                        suffix_to_add.unmapped.ops(this).extend(give)
+                        give = []
+                        break
+                    cur = positions[j]
+                    while (len(cur.unmapped.ops(other))
+                           != len(cur.unmapped.ops(this)) and give):
+                        cur.unmapped.ops(this).append(give.pop(0))
+                    other_mapped = cur.mapped.ops(other)
+                    if (allow_terminal_clips_support_dels and other_mapped
+                            and all(o[0] == "D" for o in other_mapped)):
+                        # terminal S supports the overlapping deletion
+                        first = other_mapped[0]
+                        cur.mapped.ops(this).append(
+                            (first[0], first[1], first[2]))
+                    elif (other_mapped and give
+                          and not cur.mapped.ops(this)):
+                        cur.mapped.ops(this).append(give.pop(0))
+                    count += 1
+        if is_prefix:
+            ops_this = sp.unmapped.ops(this)
+            if len(ops_this) > len(sp.unmapped.ops(other)):
+                give = []
+                for item in ops_this:
+                    if item[0] == "S":
+                        give.append(item)
+                    else:
+                        break
+                n_give = len(give)
+                del ops_this[:n_give]
+                count = 0
+                while give:
+                    count += 1
+                    j = i - count
+                    penultimate = positions[j + 1]
+                    if j < 0:
+                        penultimate.unmapped.ops(this)[:] = give
+                        break
+                    cur = positions[j]
+                    other_mapped = cur.mapped.ops(other)
+                    if (allow_terminal_clips_support_dels and other_mapped
+                            and all(o[0] == "D" for o in other_mapped)):
+                        first = other_mapped[0]
+                        cur.mapped.ops(this).append(
+                            (first[0], first[1], first[2]))
+                        continue
+                    elif (other_mapped and give
+                          and not cur.mapped.ops(this)):
+                        cur.mapped.ops(this).append(give.pop())
+                    else:
+                        penultimate.unmapped.ops(this)[:] = list(give)
+                        break
+        i += 1
+
+    if suffix_to_add is not None:
+        positions.append(suffix_to_add)
+
+
+def _combined_op(op1: Optional[str], op2: Optional[str]) -> Optional[str]:
+    if op1 is None and op2 is None:
+        return None
+    if op1 is None:
+        return op2
+    if op2 is None:
+        return op1
+    if op1 == op2:
+        return op1
+    if op1 == "S":
+        return op2
+    if op2 == "S":
+        return op1
+    return None
+
+
+class _Cursor:
+    __slots__ = ("in_r1", "in_r2")
+
+    def __init__(self):
+        self.in_r1 = -1
+        self.in_r2 = -1
+
+
+def _merge_stitched_base(info: _Info, r1_item, r2_item, r1_dir: str,
+                         r1_is_first_mate: bool, min_bq: int,
+                         nify: bool) -> None:
+    """AddStitchedBaseAndUpdateNumDisagreements (CigarReconciler.cs:866-946)."""
+    b1, q1 = r1_item[1], r1_item[2]
+    b2, q2 = r2_item[1], r2_item[2]
+    if b1 == b2:
+        info.bases.append(b1)
+        info.quals.append(min(q1 + q2, MAX_BASE_QUALITY))
+        return
+    info.n_disagree += 1
+    if nify:
+        info.bases.append("N")
+        info.quals.append(0)
+        return
+    fwd = r1_item if r1_dir == "F" else r2_item
+    rev = r2_item if r1_dir == "F" else r1_item
+    if fwd[2] > rev[2]:
+        base = fwd[1]
+        q = fwd[2] if rev[2] < min_bq else 0
+    elif fwd[2] == rev[2]:
+        first = r1_item if r1_is_first_mate else r2_item
+        second = r2_item if r1_is_first_mate else r1_item
+        base = first[1]
+        q = first[2] if second[2] < min_bq else 0
+    else:
+        base = rev[1]
+        q = rev[2] if fwd[2] < min_bq else 0
+    info.bases.append(base)
+    info.quals.append(q)
+
+
+def _fill_in_from_read(items, info: _Info, direction: str,
+                       cur: _Cursor, read1: bool) -> None:
+    for op, base, q in items:
+        info.dirs.append(direction)
+        info.cigar.append(op)
+        if op == "D" or op == "N":
+            continue
+        if op in _READ_SPAN:
+            if read1:
+                cur.in_r1 += 1
+            else:
+                cur.in_r2 += 1
+        info.bases.append(base)
+        info.quals.append(q)
+
+
+def _reconcile_site(site: _Site, info: _Info, cur: _Cursor,
+                    prefix_probe_clip_end: int, suffix_probe_clip_start: int,
+                    pair_is_outie: bool, r1_dir: str, r2_dir: str,
+                    r1_is_first_mate: bool, right_align: bool,
+                    use_softclipped_bases: bool,
+                    ignore_probe_softclips: bool, min_bq: int,
+                    nify: bool) -> bool:
+    """ReconcileSite (CigarReconciler.cs:668-832)."""
+    n1 = len(site.r1)
+    n2 = len(site.r2)
+    offset = abs(n1 - n2)
+    r1_longer = n1 > n2
+    for j in range(max(n1, n2)):
+        if right_align:
+            i1 = j if r1_longer else j - offset
+            i2 = j - offset if r1_longer else j
+        else:
+            i1 = j
+            i2 = j
+        item1 = site.r1[i1] if 0 <= i1 < n1 else None
+        item2 = site.r2[i2] if 0 <= i2 < n2 else None
+        op1 = item1[0] if item1 is not None else None
+        op2 = item2[0] if item2 is not None else None
+        combined = _combined_op(op1, op2)
+        if combined is None:
+            return False
+        info.cigar.append(combined)
+
+        r1_used = op1 is not None
+        r2_used = op2 is not None
+        if r1_used and op1 in _READ_SPAN:
+            cur.in_r1 += 1
+        if r2_used and op2 in _READ_SPAN:
+            cur.in_r2 += 1
+        if combined != "S":
+            if not use_softclipped_bases and op2 == "S":
+                r2_used = False
+            if not use_softclipped_bases and op1 == "S":
+                r1_used = False
+        if ignore_probe_softclips:
+            if r1_used and op1 == "S":
+                is_probe = ((pair_is_outie
+                             and cur.in_r1 >= suffix_probe_clip_start)
+                            or (not pair_is_outie
+                                and cur.in_r1 < prefix_probe_clip_end))
+                if is_probe and r2_used:
+                    r1_used = False
+                    if pair_is_outie:
+                        info.ignored_probe_suffix += 1
+                    else:
+                        info.ignored_probe_prefix += 1
+            if r2_used and op2 == "S":
+                is_probe = ((pair_is_outie
+                             and cur.in_r2 < prefix_probe_clip_end)
+                            or (not pair_is_outie
+                                and cur.in_r2 >= suffix_probe_clip_start))
+                if is_probe and r1_used:
+                    r2_used = False
+                    if pair_is_outie:
+                        info.ignored_probe_prefix += 1
+                    else:
+                        info.ignored_probe_suffix += 1
+            if not r1_used and not r2_used:
+                raise ValueError(
+                    "both R1 and R2 in probe softclip at overlapping position")
+
+        stitched = r1_used and r2_used
+        info.dirs.append("S" if stitched else (r1_dir if r1_used else r2_dir))
+        if combined == "D" or combined == "N":
+            continue
+        if stitched:
+            _merge_stitched_base(info, item1, item2, r1_dir,
+                                 r1_is_first_mate, min_bq, nify)
+        else:
+            item = item1 if r1_used else item2
+            info.bases.append(item[1])
+            info.quals.append(item[2])
+    return True
+
+
+def _has_incompatible_insertion(pos: _Pos, before: Optional[_Pos]) -> bool:
+    for read1 in (True, False):
+        other = not read1
+        if (not pos.unmapped.ops(other) and pos.unmapped.has_insertion(read1)
+                and pos.mapped.has_ref_span(other)
+                and before is not None and before.mapped.has_ref_span(other)):
+            return True
+    return False
+
+
+def _reconcile_sites(positions: List[_Pos], r1_is_reverse: bool,
+                     pair_is_outie: bool, r1_is_first_mate: bool,
+                     prefix_probe_clip_end: int, suffix_probe_clip_start: int,
+                     r1_has_prefix: bool, r1_has_suffix: bool,
+                     r2_has_prefix: bool, r2_has_suffix: bool,
+                     use_softclipped_bases: bool, ignore_probe_softclips: bool,
+                     min_bq: int, nify: bool,
+                     allow_terminal_dels: bool) -> Optional[_Info]:
+    info = _Info()
+    r1_dir = "R" if r1_is_reverse else "F"
+    r2_dir = "F" if r1_is_reverse else "R"
+
+    if r1_has_prefix or r1_has_suffix:
+        _redistribute_softclips(positions, True, r1_has_prefix, r1_has_suffix,
+                                allow_terminal_dels)
+    if r2_has_prefix or r2_has_suffix:
+        _redistribute_softclips(positions, False, r2_has_prefix, r2_has_suffix,
+                                allow_terminal_dels)
+
+    cur = _Cursor()
+    empty_sites = 0
+    for i, pos in enumerate(positions):
+        before = positions[i - 1] if i > 0 else None
+        if _has_incompatible_insertion(pos, before):
+            return None
+        if empty_sites >= 1 and pos.mapped.has_value():
+            return None  # gap between mapped sites: not really stitched
+        if not pos.unmapped.has_value() and not pos.mapped.has_value():
+            empty_sites += 1
+            continue
+        ok = _reconcile_site(pos.unmapped, info, cur, prefix_probe_clip_end,
+                             suffix_probe_clip_start, pair_is_outie, r1_dir,
+                             r2_dir, r1_is_first_mate, pos.unmapped.is_prefix,
+                             use_softclipped_bases, ignore_probe_softclips,
+                             min_bq, nify)
+        if not ok:
+            return None
+        n1 = len(pos.mapped.r1)
+        n2 = len(pos.mapped.r2)
+        if n2 > 0 and n1 == 0:
+            _fill_in_from_read(pos.mapped.r2, info, r2_dir, cur, False)
+            continue
+        if n1 > 0 and n2 == 0:
+            _fill_in_from_read(pos.mapped.r1, info, r1_dir, cur, True)
+            continue
+        if n1 == 0 and n2 == 0:
+            continue
+        ok = _reconcile_site(pos.mapped, info, cur, prefix_probe_clip_end,
+                             suffix_probe_clip_start, pair_is_outie, r1_dir,
+                             r2_dir, r1_is_first_mate, False,
+                             use_softclipped_bases, ignore_probe_softclips,
+                             min_bq, nify)
+        if not ok:
+            return None
+
+    if _has_internal_softclip(_compress(info.cigar)):
+        return None
+    return info
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 def stitch_reads(pos1_r1: int, cigar1, seq1: str, qual1,
                  pos1_r2: int, cigar2, seq2: str, qual2,
@@ -96,176 +629,178 @@ def stitch_reads(pos1_r1: int, cigar1, seq1: str, qual1,
                  nify_disagreements: bool = True,
                  use_softclipped_bases: bool = True,
                  dont_stitch_homopolymer_bridge: bool = True,
-                 max_read_length: int = 1024) -> Optional[StitchedRead]:
+                 max_read_length: int = 1024,
+                 pair_is_outie: Optional[bool] = None,
+                 r1_is_first_mate: bool = True,
+                 ignore_probe_softclips: bool = True,
+                 allow_terminal_clips_to_support_overlapping_dels: bool = True,
+                 threshold_num_disagreeing_bases: Optional[int] = None,
+                 count_ns_toward_disagreements: bool = False
+                 ) -> Optional[StitchedRead]:
     """Attempt to stitch two overlapping mates; None if unstitchable.
 
-    cigar: list of (op_code, length). r1 is the leftmost mate by position.
+    cigar: list of (op_code, length) with MIDNS codes 0..4. Reads are
+    normalized so r1 is the earlier read by CLIP-ADJUSTED position
+    (AlignmentSet.cs:29-36); pair_is_outie defaults to "the earlier read is
+    reverse" (AlignmentSet.IsOutie: PartnerRead2 forward => outie).
     """
-    # order mates so read A is leftmost
-    if pos1_r2 < pos1_r1:
+    cigar1 = list(cigar1)
+    cigar2 = list(cigar2)
+    if not cigar1 or not cigar2:
+        return None
+    if (pos1_r1 - _prefix_clip(cigar1)) > (pos1_r2 - _prefix_clip(cigar2)):
         return stitch_reads(pos1_r2, cigar2, seq2, qual2,
                             pos1_r1, cigar1, seq1, qual1,
                             not r1_is_reverse, min_base_quality,
                             nify_disagreements, use_softclipped_bases,
-                            dont_stitch_homopolymer_bridge, max_read_length)
+                            dont_stitch_homopolymer_bridge, max_read_length,
+                            pair_is_outie, not r1_is_first_mate,
+                            ignore_probe_softclips,
+                            allow_terminal_clips_to_support_overlapping_dels,
+                            threshold_num_disagreeing_bases,
+                            count_ns_toward_disagreements)
+    if pair_is_outie is None:
+        pair_is_outie = r1_is_reverse
 
-    a = _expand_fix_clips(pos1_r1, list(cigar1), seq1, qual1, use_softclipped_bases)
-    b = _expand_fix_clips(pos1_r2, list(cigar2), seq2, qual2, use_softclipped_bases)
-    if not a or not b:
+    # IsStitchable span gate (BasicStitcher.cs:195-200)
+    r1_end = pos1_r1 + _ref_span(cigar1) - 1
+    if use_softclipped_bases:
+        stitchable = (r1_end + _suffix_clip(cigar1)
+                      >= pos1_r2 - _prefix_clip(cigar2))
+    else:
+        stitchable = r1_end >= pos1_r2
+    if not stitchable:
         return None
 
-    a_keys = {it.key for it in a}
-    b_keys = {it.key for it in b}
-    overlap_keys = a_keys & b_keys
-    if not overlap_keys:
-        return None  # not stitchable
+    max_stitched = max_read_length * 2 - 1
 
-    # reconcile: in the overlap the op structure must agree
-    a_by_key = {it.key: it for it in a}
-    b_by_key = {it.key: it for it in b}
-    for key in overlap_keys:
-        if a_by_key[key].op != b_by_key[key].op:
-            return None
-    # insertion length consistency: an insertion at a shared boundary must
-    # have the same length in both reads
-    a_ins = {}
-    b_ins = {}
-    for it in a:
-        if it.op == OP_I:
-            a_ins[it.key[0]] = a_ins.get(it.key[0], 0) + 1
-    for it in b:
-        if it.op == OP_I:
-            b_ins[it.key[0]] = b_ins.get(it.key[0], 0) + 1
-    min_a = min(k[0] for k in b_keys)
-    max_b = max(k[0] for k in a_keys)
-    for rp, ln in a_ins.items():
-        if min_a <= rp <= max_b and rp in b_ins and b_ins[rp] != ln:
-            return None
-        if min_a < rp <= max_b and rp not in b_ins:
-            return None  # insertion missing from the other read's overlap
-    for rp, ln in b_ins.items():
-        if min_a <= rp < max_b and rp not in a_ins:
-            return None
-
-    # merge: union of items in key order; consensus in overlap
-    all_keys = sorted(a_keys | b_keys)
-    if len(all_keys) > max_read_length:
+    info = _super_simple(pos1_r1, cigar1, seq1, qual1, pos1_r2, cigar2,
+                         seq2, qual2, r1_is_reverse, r1_is_first_mate,
+                         min_base_quality, nify_disagreements)
+    if info is not None and len(info.bases) > max_stitched:
         return None
-    seq_out: List[str] = []
-    qual_out: List[int] = []
-    cigar_out: List[Tuple[int, int]] = []
-    xd_parts: List[str] = []
-    n_agree = n_disagree = n_ndis = 0
-
-    dir_a = "R" if r1_is_reverse else "F"
-    dir_b = "F" if r1_is_reverse else "R"
-
-    def push_cigar(op):
-        if cigar_out and cigar_out[-1][0] == op:
-            cigar_out[-1] = (op, cigar_out[-1][1] + 1)
+    if info is None:
+        positions: List[_Pos] = []
+        e1 = _chars(cigar1)
+        e2 = _chars(cigar2)
+        if pos1_r1 < pos1_r2:
+            _add_read(positions, e1, seq1, qual1, 0, True)
+            _add_read(positions, e2, seq2, qual2, pos1_r2 - pos1_r1, False)
         else:
-            cigar_out.append((op, 1))
+            _add_read(positions, e2, seq2, qual2, 0, False)
+            _add_read(positions, e1, seq1, qual1, pos1_r1 - pos1_r2, True)
+        if len(positions) > max_stitched:
+            return None
+        r1_pre = _prefix_clip(cigar1)
+        r2_pre = _prefix_clip(cigar2)
+        r1_suf = _suffix_clip(cigar1)
+        r2_suf = _suffix_clip(cigar2)
+        prefix_probe_clip_end = r2_pre if pair_is_outie else r1_pre
+        suffix_probe_clip_start = (
+            _read_span(cigar1) - r1_suf if pair_is_outie
+            else _read_span(cigar2) - r2_suf)
+        info = _reconcile_sites(
+            positions, r1_is_reverse, pair_is_outie, r1_is_first_mate,
+            prefix_probe_clip_end, suffix_probe_clip_start,
+            r1_pre > 0, r1_suf > 0, r2_pre > 0, r2_suf > 0,
+            use_softclipped_bases, ignore_probe_softclips,
+            min_base_quality, nify_disagreements,
+            allow_terminal_clips_to_support_overlapping_dels)
+        if info is None:
+            return None
 
-    def push_xd(d):
-        xd_parts.append(d)
-
-    pos_out = None
-    for key in all_keys:
-        ia = a_by_key.get(key)
-        ib = b_by_key.get(key)
-        if ia is not None and ib is not None:
-            op = ia.op
-            d = "S"
-            if op == OP_D:
-                base, q = None, None
-            else:
-                b1, q1 = ia.base, ia.qual
-                b2, q2 = ib.base, ib.qual
-                if b1 == b2:
-                    base, q = b1, min(q1 + q2, MAX_BASE_QUALITY)
-                    n_agree += 1
-                elif b2 == "N" or q2 == 0:
-                    base, q = b1, q1
-                    n_ndis += 1
-                elif b1 == "N" or q1 == 0:
-                    base, q = b2, q2
-                    n_ndis += 1
-                elif nify_disagreements:
-                    base, q = "N", 0
-                    n_disagree += 1
-                else:
-                    if q1 >= q2:
-                        base, q = b1, (q1 if q2 < min_base_quality else 0)
-                    else:
-                        base, q = b2, (q2 if q1 < min_base_quality else 0)
-                    n_disagree += 1
-        else:
-            it = ia if ia is not None else ib
-            op = it.op
-            d = dir_a if ia is not None else dir_b
-            base, q = it.base, it.qual
-
-        if op == OP_D:
-            push_cigar(OP_D)
-            push_xd(d)
-            continue
-        seq_out.append(base)
-        qual_out.append(q)
-        push_cigar(OP_M if op in (OP_M, OP_S) else op)
-        push_xd(d)
-        if pos_out is None and op == OP_M:
-            pos_out = key[0]
-
-    if pos_out is None:
-        return None
+    # disagreement threshold (BasicStitcher.cs:85-88)
+    if threshold_num_disagreeing_bases is not None:
+        n = info.n_disagree + (info.n_ndis
+                               if count_ns_toward_disagreements else 0)
+        if n > threshold_num_disagreeing_bases:
+            return None
 
     # homopolymer-bridge rejection (OverlapEvaluator.BridgeAnchored)
     if dont_stitch_homopolymer_bridge:
-        overlap_bases = "".join(
-            (a_by_key[k].base or "") for k in all_keys
-            if k in a_keys and k in b_keys and a_by_key[k].op != OP_D)
-        if not bridge_anchored(overlap_bases):
+        if info.is_simple:
+            anchored = bridge_anchored(info.overlap_bases)
+        else:
+            stitched_bases = []
+            bi = 0
+            for op, d in zip(info.cigar, info.dirs):
+                if op == "D" or op == "N":
+                    continue
+                if d == "S":
+                    stitched_bases.append(info.bases[bi])
+                bi += 1
+            ov = "".join(stitched_bases)
+            if len(ov) <= 3:
+                anchored = True
+            elif len(set(ov)) == 1:
+                anchored = False
+            else:
+                anchored = not is_repeat(ov)
+        if not anchored:
             return None
 
-    # compress XD
-    xd = ""
-    run_d = None
-    run_n = 0
-    for d in xd_parts:
-        if d == run_d:
-            run_n += 1
-        else:
-            if run_d is not None:
-                xd += f"{run_n}{run_d}"
-            run_d = d
-            run_n = 1
-    if run_d is not None:
-        xd += f"{run_n}{run_d}"
+    compressed = _compress(info.cigar)
+    cigar_out = [(_CHAR_OP[c], ln) for c, ln in compressed]
+    xd = "".join(f"{ln}{d}" for d, ln in _compress(info.dirs))
+    return StitchedRead(min(pos1_r1, pos1_r2), cigar_out,
+                        "".join(info.bases), info.quals, xd,
+                        info.n_agree, info.n_disagree, info.n_ndis)
 
-    # leading/trailing insertions relative to first M become softclips
-    return StitchedRead(pos_out, cigar_out, "".join(seq_out), qual_out, xd,
-                        n_agree, n_disagree, n_ndis)
+
+# ---------------------------------------------------------------------------
+# repeat detection (OverlapEvaluator)
+# ---------------------------------------------------------------------------
+
+def _slide_sequence(overlap: str, window: int) -> List[str]:
+    """SlideSequence: candidate units from the first few start offsets."""
+    n = len(overlap)
+    limit = 2 if n >= 5 else n - window
+    units = []
+    i = 0
+    while i <= limit:
+        u = overlap[i:i + window]
+        if len(u) == window and u not in units:
+            units.append(u)
+        i += 1
+    return units
+
+
+def _string_is_repeat_of_units(overlap: str, unit: str) -> bool:
+    """StringIsRepeatOfUnits: tandem repeats of unit, allowing a partial
+    leading repeat (matching the unit's tail) and a partial trailing one."""
+    first = overlap.find(unit)
+    if first > 0:
+        if first >= len(unit):
+            return False
+        if overlap[:first] != unit[len(unit) - first:]:
+            return False
+    i = first
+    is_full = True
+    while i < len(overlap):
+        if overlap.find(unit, i) == i:
+            i += len(unit)
+            continue
+        remaining = len(overlap) - i
+        if remaining <= len(unit):
+            if overlap[i:] != unit[:remaining]:
+                return False
+            return True
+        return False
+    return is_full
 
 
 def is_repeat(overlap: str, max_unit: int = 3) -> bool:
     """OverlapEvaluator.IsRepeat: overlap consists of tandem repeats of a
-    short unit (allowing a trailing partial repeat)."""
-    n = len(overlap)
-    for unit_len in range(1, min(n - 1, max_unit) + 1):
-        for start in range(0, n - unit_len + 1):
-            unit = overlap[start:start + unit_len]
-            if len(unit) < unit_len:
+    short unit (allowing partial leading/trailing repeats)."""
+    window = 1
+    max_window = min(len(overlap) - 1, max_unit)
+    while window <= max_window:
+        for unit in _slide_sequence(overlap, window):
+            if len(overlap) == len(unit):
                 continue
-            if n == unit_len:
-                continue
-            whole = n // unit_len
-            base_seq = unit * whole
-            if overlap == base_seq:
+            if _string_is_repeat_of_units(overlap, unit):
                 return True
-            if overlap.startswith(base_seq):
-                rest = overlap[len(base_seq):]
-                if rest and unit.startswith(rest):
-                    return True
+        window += 1
     return False
 
 
