@@ -20,13 +20,16 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from pisces_tpu.domain.types import AlleleCategory
 from pisces_tpu.io.bam import FLAG_PAIRED, FLAG_REVERSE, ReadBatch, filter_batch
 from pisces_tpu.io.bam_write import BamRecord, BamWriter
 from pisces_tpu.io.fasta import Genome
-from pisces_tpu.pileup.candidates import find_candidates_batch
+from pisces_tpu.preprocessing.indels import (
+    BasicIndelFilterer, ChromosomeIndelSource, IndelEvidence,
+    find_read_indels, get_final_indels_for_chromosome, record_indel_evidence,
+)
 from pisces_tpu.preprocessing.realigner import (
-    CandidateIndel, realign_read,
+    GemBasicAlignmentComparer, GeminiReadRealigner, RealignmentEvaluator,
+    RealignmentJudger,
 )
 from pisces_tpu.preprocessing.stitcher import stitch_reads
 from pisces_tpu.utils.logger import log
@@ -50,11 +53,8 @@ def _treatment_string(r1_realigned: bool, r2_realigned: bool,
 class GeminiOptions:
     min_base_call_quality: int = 20
     min_map_quality: int = 1
-    indel_min_support: int = 2       # MinRequiredIndelSupport
-    indel_min_frequency: float = 0.01
     stitch_pairs: bool = True
     realign: bool = True
-    max_indel_size: int = 50
     classify: bool = True            # PairClassification-driven treatment
     trust_softclips: bool = False
     classifier_min_mapq: int = 10    # ReadPairClassifierAndExtractor default
@@ -88,26 +88,77 @@ class GeminiOptions:
     silence_messy_map_mess_reads: bool = False
     force_high_likelihood_realigners: bool = False
     tag_treatment: bool = True            # XT/XP tags on processed reads
+    # indel filtering (IndelFilteringOptions.cs:5-11)
+    found_threshold: int = 3              # MinPreferredSupport
+    min_anchor: int = 1                   # MinPreferredAnchor
+    strict_found_threshold: int = 0       # MinRequiredIndelSupport
+    strict_anchor_threshold: int = 0      # MinRequiredAnchor
+    max_mess: int = 20
+    # realignment behavior (RealignmentOptions.cs, GeminiOptions.cs)
+    keep_probe_softclips: bool = False    # KeepProbe
+    remask_messy_softclips: bool = False  # RemaskMessySoftclips
+    mask_partial_insertion: bool = False  # MaskPartialInsertion
+    minimum_unanchored_insertion_length: int = 0
+    pair_aware_everything: bool = False
+    softclip_unknown_indels: bool = False
 
 
-def collect_indel_targets(chrom_name: str, refseq: np.ndarray,
-                          batch: ReadBatch, keep: np.ndarray,
-                          options: GeminiOptions) -> List[CandidateIndel]:
-    """IndelTargetFinder + BasicIndelFilterer: indel candidates with enough
-    well-supported evidence become realignment targets."""
-    candidates, _ = find_candidates_batch(
-        chrom_name, refseq, batch, keep, options.min_base_call_quality,
-        call_mnvs=False, track_open_ended=False)
-    targets = []
-    for c in candidates:
-        if c.category not in (AlleleCategory.INSERTION, AlleleCategory.DELETION):
+def build_indel_source(chrom_name: str, refseq_str: str, batch: ReadBatch,
+                       keep: np.ndarray, features, options: GeminiOptions
+                       ) -> Tuple[ChromosomeIndelSource,
+                                  Dict[str, IndelEvidence]]:
+    """Indel evidence -> BasicIndelFilterer -> genome contextualization ->
+    ranked bucketed source (the IndelTargetFinder/IndelEvidenceHelper/
+    BasicIndelFilterer/HashableIndelSource/ChromosomeIndelSource chain)."""
+    lookup: Dict[str, IndelEvidence] = {}
+    nm_total = features.nm_sub + features.indel_bases
+    for i in np.nonzero(keep & (features.indel_events > 0))[0]:
+        i = int(i)
+        if not features.primary[i] \
+                or features.mapq[i] <= options.min_map_quality:
             continue
-        if c.support < options.indel_min_support:
-            continue
-        targets.append(CandidateIndel(chrom_name, c.position, c.ref_allele,
-                                      c.alt_allele))
-    targets.sort(key=lambda t: (t.position, t.ref_allele, t.alt_allele))
-    return targets
+        pos1, cigar, seq, quals = _read_tuple(batch, i)
+        indels = find_read_indels(chrom_name, pos1, cigar, seq, quals,
+                                  refseq_str)
+        reputable = (features.nm_sub[i] < 3
+                     and (options.trust_softclips
+                          or features.softclip_bases[i] < 10))
+        record_indel_evidence(indels, lookup, bool(features.reverse[i]),
+                              reputable, False,
+                              bool(features.mate_unmapped[i]),
+                              int(nm_total[i]))
+    filterer = BasicIndelFilterer(options.found_threshold, options.min_anchor,
+                                  options.strict_anchor_threshold,
+                                  options.strict_found_threshold,
+                                  options.max_mess)
+    pres = filterer.get_realignable_preindels(lookup, allow_rescue=True)
+    hashables = get_final_indels_for_chromosome(pres, refseq_str)
+    return ChromosomeIndelSource(hashables), lookup
+
+
+def make_evaluator(source: ChromosomeIndelSource, refseq_str: str,
+                   options: GeminiOptions,
+                   already_stitched: bool = False) -> RealignmentEvaluator:
+    """BamRealignmentFactory.GetRealignPairHandler wiring
+    (Interfaces/BamRealignmentFactory.cs:40-131)."""
+    comparer = GemBasicAlignmentComparer(
+        trust_softclips=(options.trust_softclips
+                         or options.keep_both_side_softclips
+                         or options.keep_probe_softclips))
+    realigner = GeminiReadRealigner(
+        comparer,
+        mask_partial_insertion=options.mask_partial_insertion,
+        keep_probe_softclips=options.keep_probe_softclips,
+        keep_both_side_softclips=(options.keep_both_side_softclips
+                                  or (options.keep_probe_softclips
+                                      and already_stitched)),
+        mask_ns_only=not (options.remask_messy_softclips
+                          or options.keep_probe_softclips
+                          or options.keep_both_side_softclips),
+        minimum_unanchored_insertion_length=
+        options.minimum_unanchored_insertion_length)
+    judger = RealignmentJudger(comparer)
+    return RealignmentEvaluator(source, realigner, judger, refseq_str)
 
 
 def _read_tuple(batch: ReadBatch, i: int):
@@ -122,7 +173,8 @@ def _read_tuple(batch: ReadBatch, i: int):
 
 def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                        options: GeminiOptions,
-                       read_names: Optional[List[str]] = None
+                       read_names: Optional[List[str]] = None,
+                       indel_csv_rows: Optional[List[str]] = None
                        ) -> Tuple[List[BamRecord], Dict[str, int]]:
     """Returns cleaned records + outcome counters."""
     from pisces_tpu.preprocessing import classify as _classify
@@ -132,8 +184,16 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
     keep = filter_batch(batch, options.min_map_quality,
                         remove_duplicates=options.skip_and_remove_dups)
     stats = defaultdict(int)
-    targets = collect_indel_targets(chrom_name, refseq, batch, keep, options) \
-        if options.realign else []
+    from pisces_tpu.domain.types import BASE_TO_ALLELE as _B2A
+    from pisces_tpu.preprocessing.classify import extract_features
+    refseq_str = refseq.tobytes().decode("latin-1")
+    features = extract_features(batch, _B2A[refseq], keep)
+    indel_source = None
+    evidence_lookup: Dict[str, IndelEvidence] = {}
+    if options.realign:
+        indel_source, evidence_lookup = build_indel_source(
+            chrom_name, refseq_str, batch, keep, features, options)
+    targets = indel_source.indels if indel_source is not None else []
     stats["indel_targets"] = len(targets)
 
     # pair classification decides each read's treatment
@@ -212,20 +272,57 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         return conclusions.usable_at(lo, hi)
 
     realigned: Dict[int, Tuple[int, list]] = {}
-    if targets:
-        for i in np.nonzero(keep)[0]:
-            if not _realignable(int(i)):
+    nified_quals: Dict[int, List[int]] = {}
+    evaluator = None
+    if targets and indel_source is not None:
+        evaluator = make_evaluator(indel_source, refseq_str, options)
+        nm_total = features.nm_sub + features.indel_bases
+        # pair-aware second pass: a mate's confirmed/accepted indels feed
+        # the partner's lookup (RealignPairHandler pair flow)
+        confirmed_by_pair: Dict[int, List] = {}
+        order = list(np.nonzero(keep)[0])
+        for i in order:
+            i = int(i)
+            if not _realignable(i):
                 continue
-            if not _site_usable(int(i)):
+            if not _site_usable(i):
                 stats["skipped_realign_sites"] += 1
                 continue
             stats["realign_attempts"] += 1
             pos1, cigar, seq, quals = _read_tuple(batch, i)
-            res = realign_read(pos1, cigar, seq, refseq, targets,
-                               options.max_indel_size)
-            if res is not None:
-                realigned[int(i)] = (res.pos1, res.cigar)
+            existing = (find_read_indels(chrom_name, pos1, cigar, seq, quals,
+                                         refseq_str)
+                        if features.indel_events[i] else None)
+            mate = mate_of.get(i)
+            confirmed = confirmed_by_pair.get(mate, None) \
+                if mate is not None else None
+            new_pos, new_cigar, changed, confirmed_flag, accepted, nified = \
+                evaluator.get_final_alignment(
+                    pos1, cigar, seq, quals, existing,
+                    is_reverse=bool(features.reverse[i]),
+                    is_paired=bool(features.paired[i]),
+                    has_mismatches_or_indels=bool(nm_total[i] > 0),
+                    confirmed_accepteds=confirmed)
+            if accepted and mate is not None:
+                confirmed_by_pair.setdefault(i, []).extend(accepted)
+            if changed:
+                realigned[i] = (new_pos, new_cigar)
                 stats["realigned"] += 1
+                if nified:
+                    q = list(quals)
+                    for k in nified:
+                        if 0 <= k < len(q):
+                            q[k] = 0
+                    nified_quals[i] = q
+            elif confirmed_flag:
+                stats["confirmed"] += 1
+    if indel_csv_rows is not None:
+        # GeminiWorkflow.WriteIndelsCsv analog: evidence + outcome per indel
+        outcomes = evaluator.indel_outcomes if evaluator is not None else {}
+        for key, ev in evidence_lookup.items():
+            oc = outcomes.get(key.split("|")[0], [0, 0, 0, 0])
+            indel_csv_rows.append(
+                f"{key},{ev.row()},{oc[0]},{oc[1]},{oc[3]}")
 
     # read silencing: directional-mess / suspicious-mapping categories in
     # flagged bins get base qualities zeroed unless realigned
@@ -269,7 +366,11 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         stats["silenced"] = len(silence_set)
 
     def _quals_for(i: int, quals):
-        return [0] * len(quals) if i in silence_set else list(quals)
+        if i in silence_set:
+            return [0] * len(quals)
+        if i in nified_quals:
+            return nified_quals[i]
+        return list(quals)
 
     def _tags_for(i: int, treatment: str, extra=None) -> Optional[dict]:
         """XT (treatment) / XP (classification) tags
@@ -377,6 +478,7 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
                        reader.header.ref_lengths,
                        extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
     total_stats = defaultdict(int)
+    csv_rows: List[str] = []
     for chrom_name in genome.chromosome_names:
         if chrom_name not in reader.header.ref_names:
             continue
@@ -387,13 +489,20 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
         batch_names = _names_for_batch(reader, rid, names)
         refseq = genome.get_chr_reference(chrom_name).sequence
         records, stats = process_chromosome(chrom_name, refseq, batch, options,
-                                            batch_names)
+                                            batch_names,
+                                            indel_csv_rows=csv_rows)
         for k, v in stats.items():
             total_stats[k] += v
         for r in records:
             writer.add(r)
     writer.write(sort=True, index=True)  # sorted + .bai (samtools sort/index
     # merge step of the reference GeminiWorkflow.cs:62-101, done natively)
+    with open(out_path + ".indels.csv", "w") as f:
+        f.write("indel,observations,leftAnchor,rightAnchor,mess,quality,"
+                "forward,reverse,stitched,reputableSupport,isRepeat,isSplit,"
+                "outcome,confirmed,accepted,rejected\n")
+        for row in csv_rows:
+            f.write(row + "\n")
     log(f"gemini: {dict(total_stats)} -> {out_path}")
     return out_path
 
@@ -558,24 +667,31 @@ def main(argv=None) -> int:
     a("-lightdebug", default="false")
     # accepted for command-line compatibility; no behavioral counterpart in
     # the native/columnar architecture
+    a("-minpreferredsupport", type=int, default=3,
+      help="observations before an indel is a preferred realignment target")
+    a("-minpreferredanchor", type=int, default=1)
+    a("-minrequiredanchor", type=int, default=0)
+    a("-keepprobe", default="false")
+    a("-remaskmessysoftclips", default="false")
+    a("-maskpartialinsertion", default="false")
+    a("-minimumunanchoredinsertionlength", type=int, default=0)
+    a("-pairawareeverything", default="false")
+    a("-softclipunknownindels", default="false")
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
                  "-readcachesize", "-numconcurrentregions", "-regionsize",
-                 "-binsize", "-keepunmerged", "-keepprobe",
+                 "-binsize", "-keepunmerged",
                  "-sortperchrom", "-indexperchrom",
                  "-trackmismatches", "-logregionsandrealignments",
                  "-categoriestorealign", "-categoriestosnowball",
                  "-avoidlikelysnvs",
-                 "-softclipunknownindels", "-remaskmessysoftclips",
-                 "-maskpartialinsertion", "-checksoftclipsformismatches",
+                 "-checksoftclipsformismatches",
                  "-stringtagstokeepfromr1",
                  "-filterforproperpairs", "-filterpairlowmapq",
                  "-filterpairunmapped", "-treatabnormalorientationasimproper",
                  "-ignorereadsabovemaxlength",
-                 "-allowrescoringorigzero", "-pairawareeverything",
+                 "-allowrescoringorigzero",
                  "-recalculateusablesitesaftersnowball",
-                 "-requirepositiveoutcomeforsnowball", "-minpreferredanchor",
-                 "-minrequiredanchor", "-minpreferredsupport",
-                 "-minimumunanchoredinsertionlength"):
+                 "-requirepositiveoutcomeforsnowball"):
         a(flag, default=None, help=argparse.SUPPRESS)
     args = p.parse_args(_normalize(list(argv if argv is not None
                                         else sys.argv[1:])))
@@ -584,7 +700,17 @@ def main(argv=None) -> int:
     options.realign = _b(args.realign) and not _b(args.stitchonly)
     options.min_base_call_quality = args.minbasecallquality
     options.min_map_quality = args.minmapquality
-    options.indel_min_support = args.minrequiredindelsupport
+    options.strict_found_threshold = args.minrequiredindelsupport
+    options.found_threshold = args.minpreferredsupport
+    options.min_anchor = args.minpreferredanchor
+    options.strict_anchor_threshold = args.minrequiredanchor
+    options.keep_probe_softclips = _b(args.keepprobe)
+    options.remask_messy_softclips = _b(args.remaskmessysoftclips)
+    options.mask_partial_insertion = _b(args.maskpartialinsertion)
+    options.minimum_unanchored_insertion_length = \
+        args.minimumunanchoredinsertionlength
+    options.pair_aware_everything = _b(args.pairawareeverything)
+    options.softclip_unknown_indels = _b(args.softclipunknownindels)
     options.trust_softclips = _b(args.trustsoftclips)
     options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
     options.skip_and_remove_dups = _b(args.skipandremovedups)

@@ -1,9 +1,13 @@
-"""Realigner + Gemini pipeline tests."""
+"""Realigner + Gemini pipeline tests (Gemini.Tests scenario style)."""
 import numpy as np
 import pytest
 
+from pisces_tpu.preprocessing.indels import (
+    ChromosomeIndelSource, PreIndel, get_hashable_indel,
+)
 from pisces_tpu.preprocessing.realigner import (
-    CandidateIndel, can_coexist, realign_read,
+    GemBasicAlignmentComparer, GeminiReadRealigner, RealignmentEvaluator,
+    RealignmentJudger,
 )
 from pisces_tpu.preprocessing.gemini import (
     GeminiOptions, process_chromosome, run_gemini,
@@ -22,47 +26,102 @@ def cig(s):
 REF = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"  # 40bp
 
 
+def _realigner():
+    comparer = GemBasicAlignmentComparer()
+    return GeminiReadRealigner(comparer)
+
+
+def _hashable(pos, ref, alt, score=100):
+    return get_hashable_indel(REF, PreIndel("chr1", pos, ref, alt,
+                                            score=score))
+
+
+def _evaluator(hashables):
+    comparer = GemBasicAlignmentComparer()
+    realigner = GeminiReadRealigner(comparer)
+    judger = RealignmentJudger(comparer)
+    return RealignmentEvaluator(ChromosomeIndelSource(list(hashables)),
+                                realigner, judger, REF)
+
+
 class TestRealigner:
     def test_deletion_rescues_mismatches(self):
         # read matches ref[0:10] + ref[13:23] (3bp deletion after pos 10)
-        ref = refseq(REF)
         read = REF[0:10] + REF[13:23]
-        # aligned naively as 20M at pos 1 -> many mismatches
-        target = CandidateIndel("chr1", 10, REF[9:13], REF[9])
-        res = realign_read(1, cig("20M"), read, ref, [target])
+        target = _hashable(10, REF[9:13], REF[9])
+        res = _realigner().realign(1, cig("20M"), read, [30] * 20, [target],
+                                   REF)
         assert res is not None
-        assert res.pos1 == 1
+        assert res.position == 1
         assert res.cigar == [(0, 10), (2, 3), (0, 10)]
         assert res.num_mismatches == 0
+        assert res.accepted_hashables == [target]
 
     def test_insertion_rescues_mismatches(self):
-        ref = refseq(REF)
         read = REF[0:10] + "GGG" + REF[10:17]
-        target = CandidateIndel("chr1", 10, REF[9], REF[9] + "GGG")
-        res = realign_read(1, cig("20M"), read, ref, [target])
+        target = _hashable(10, REF[9], REF[9] + "GGG")
+        res = _realigner().realign(1, cig("20M"), read, [30] * 20, [target],
+                                   REF)
         assert res is not None
         assert res.cigar == [(0, 10), (1, 3), (0, 7)]
         assert res.num_mismatches == 0
 
-    def test_no_improvement_returns_none(self):
-        ref = refseq(REF)
-        read = REF[0:20]  # perfect alignment
-        target = CandidateIndel("chr1", 10, REF[9:13], REF[9])
-        assert realign_read(1, cig("20M"), read, ref, [target]) is None
+    def test_no_improvement_not_accepted(self):
+        # perfect read: the evaluator must keep the original alignment
+        read = REF[0:20]
+        ev = _evaluator([_hashable(10, REF[9:13], REF[9])])
+        pos, cigar_out, changed, confirmed, accepted, nified = \
+            ev.get_final_alignment(1, cig("20M"), read, [30] * 20,
+                                   has_mismatches_or_indels=False)
+        assert not changed
+        assert pos == 1 and cigar_out == cig("20M")
 
     def test_wrong_target_rejected(self):
-        ref = refseq(REF)
         read = REF[0:20]
         read = read[:15] + "T" + read[16:]  # single SNV only
-        target = CandidateIndel("chr1", 5, REF[4:7], REF[4])
-        assert realign_read(1, cig("20M"), read, ref, [target]) is None
+        ev = _evaluator([_hashable(5, REF[4:7], REF[4])])
+        pos, cigar_out, changed, confirmed, accepted, nified = \
+            ev.get_final_alignment(1, cig("20M"), read, [30] * 20)
+        assert not changed
+        assert cigar_out == cig("20M")
 
-    def test_can_coexist(self):
-        d1 = CandidateIndel("chr1", 10, "ACGT", "A")
-        d2 = CandidateIndel("chr1", 12, "GTAC", "G")
-        assert not can_coexist(d1, d2)
-        d3 = CandidateIndel("chr1", 20, "GT", "G")
-        assert can_coexist(d1, d3)
+    def test_existing_top_indel_confirmed(self):
+        # a read that already carries the best-ranked indel is confirmed
+        # without realignment (RealignmentEvaluator.cs:171-189)
+        target = _hashable(10, REF[9:13], REF[9])
+        ev = _evaluator([target])
+        read = REF[0:10] + REF[13:23]
+        existing = [PreIndel("chr1", 10, REF[9:13], REF[9])]
+        pos, cigar_out, changed, confirmed, accepted, nified = \
+            ev.get_final_alignment(1, cig("10M3D10M"), read, [30] * 20,
+                                   existing_indels=existing)
+        assert not changed
+        assert confirmed
+        assert accepted == [target]
+        assert ev.indel_outcomes[target.string_rep][0] == 1
+
+    def test_softclip_unrolled_into_match(self):
+        # softclipped tail hides the deletion: fresh layout unrolls the clip
+        # and the deletion target explains it (SoftclipReapplier flow)
+        read = REF[0:10] + REF[13:23]
+        target = _hashable(10, REF[9:13], REF[9])
+        res = _realigner().realign(1, cig("10M10S"), read, [30] * 20,
+                                   [target], REF)
+        assert res is not None
+        assert res.cigar == [(0, 10), (2, 3), (0, 10)]
+
+    def test_can_coexist_multi_only(self):
+        # only indels observed together in one read (InMulti partners) may
+        # coexist in a realignment (GeminiReadRealigner.CanCoexist)
+        d1 = _hashable(10, REF[9:13], REF[9])
+        d3 = _hashable(20, REF[19:21], REF[19])
+        assert not GeminiReadRealigner.can_coexist(d1, d3)
+        import dataclasses
+        m1 = dataclasses.replace(d1, in_multi=True,
+                                 other_indel=d3.string_rep)
+        m2 = dataclasses.replace(d3, in_multi=True,
+                                 other_indel=d1.string_rep)
+        assert GeminiReadRealigner.can_coexist(m1, m2)
 
 
 class TestGeminiPipeline:
