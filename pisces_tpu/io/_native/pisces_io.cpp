@@ -112,6 +112,9 @@ struct BamFile {
   std::vector<int32_t> cigar_lens;
   std::vector<int8_t> seq;
   std::vector<uint8_t> qual;
+  std::vector<int32_t> mate_ref_id, mate_pos;
+  std::string name_blob;            // concatenated read names
+  std::vector<int64_t> name_off;    // [n+1] offsets into name_blob
 };
 
 int32_t rd_i32(const uint8_t* p) {
@@ -240,6 +243,10 @@ int64_t bam_decode(void* h, int want_ref_id) {
   bf->cigar_lens.clear();
   bf->seq.clear();
   bf->qual.clear();
+  bf->mate_ref_id.clear();
+  bf->mate_pos.clear();
+  bf->name_blob.clear();
+  bf->name_off.assign(1, 0);
 
   for (size_t off : bf->rec_offsets) {
     const uint8_t* r = d + off + 4;
@@ -256,6 +263,10 @@ int64_t bam_decode(void* h, int want_ref_id) {
     bf->pos.push_back(pos);
     bf->mapq.push_back(mapq);
     bf->flag.push_back(flag);
+    bf->mate_ref_id.push_back(rd_i32(r + 20));
+    bf->mate_pos.push_back(rd_i32(r + 24));
+    bf->name_blob.append((const char*)r + 32, l_read_name - 1);
+    bf->name_off.push_back((int64_t)bf->name_blob.size());
 
     const uint8_t* p = r + 32 + l_read_name;
     int64_t ref_span = 0;
@@ -307,6 +318,18 @@ int64_t bam_total_cigar(void* h) {
   return (int64_t)((BamFile*)h)->cigar_ops.size();
 }
 int64_t bam_total_bases(void* h) { return (int64_t)((BamFile*)h)->seq.size(); }
+const int32_t* bam_col_mate_ref_id(void* h) {
+  return ((BamFile*)h)->mate_ref_id.data();
+}
+const int32_t* bam_col_mate_pos(void* h) {
+  return ((BamFile*)h)->mate_pos.data();
+}
+const char* bam_col_name_blob(void* h) {
+  return ((BamFile*)h)->name_blob.data();
+}
+const int64_t* bam_col_name_off(void* h) {
+  return ((BamFile*)h)->name_off.data();
+}
 
 // Standalone BGZF helpers (gzip-compatible writer support)
 int64_t bgzf_decompress_size(const uint8_t* data, int64_t n) {

@@ -94,11 +94,16 @@ class BamWriter:
 
     def add_read(self, name: str, chrom: str, pos1: int, cigar: str, seq: str,
                  qual=30, flag: int = 0, mapq: int = 60,
-                 tags: Optional[Dict[str, str]] = None) -> None:
+                 tags: Optional[Dict[str, str]] = None,
+                 mate_pos0: int = -1, mate_chrom: Optional[str] = None) -> None:
         if isinstance(qual, int):
             qual = [qual] * len(seq)
-        self.add(BamRecord(name, self.ref_names.index(chrom), pos1 - 1, mapq,
+        rid = self.ref_names.index(chrom)
+        mate_rid = (self.ref_names.index(mate_chrom) if mate_chrom
+                    else (rid if mate_pos0 >= 0 else -1))
+        self.add(BamRecord(name, rid, pos1 - 1, mapq,
                            flag, parse_cigar_string(cigar), seq, qual,
+                           next_ref_id=mate_rid, next_pos=mate_pos0,
                            tags=tags))
 
     def header_bytes(self) -> bytes:

@@ -60,10 +60,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                      ("bam_col_cigar_lens", ctypes.c_int32),
                      ("bam_col_seq_off", ctypes.c_int64),
                      ("bam_col_seq", ctypes.c_int8),
-                     ("bam_col_qual", ctypes.c_uint8)]:
+                     ("bam_col_qual", ctypes.c_uint8),
+                     ("bam_col_mate_ref_id", ctypes.c_int32),
+                     ("bam_col_mate_pos", ctypes.c_int32),
+                     ("bam_col_name_off", ctypes.c_int64)]:
         fn = getattr(lib, name)
         fn.restype = ctypes.POINTER(ct)
         fn.argtypes = [ctypes.c_void_p]
+    lib.bam_col_name_blob.restype = ctypes.c_void_p
+    lib.bam_col_name_blob.argtypes = [ctypes.c_void_p]
     lib.bam_total_cigar.restype = ctypes.c_int64
     lib.bam_total_cigar.argtypes = [ctypes.c_void_p]
     lib.bam_total_bases.restype = ctypes.c_int64
@@ -129,12 +134,23 @@ class NativeBamReader:
     def n_records(self) -> int:
         return int(self._lib.bam_n_records(self._h))
 
-    def _fetch_impl(self, ref_id: Optional[int] = None):
+    def _fetch_impl(self, ref_id: Optional[int] = None,
+                    parse_names: bool = False):
         from pisces_tpu.io.bam import ReadBatch
         lib = self._lib
         n = int(lib.bam_decode(self._h, -1 if ref_id is None else ref_id))
         total_cigar = int(lib.bam_total_cigar(self._h))
         total_bases = int(lib.bam_total_bases(self._h))
+        names = None
+        if parse_names and n:
+            name_off = _as_array(lib.bam_col_name_off(self._h), n + 1,
+                                 np.int64)
+            blob = ctypes.string_at(lib.bam_col_name_blob(self._h),
+                                    int(name_off[-1]))
+            names = [blob[name_off[i]:name_off[i + 1]].decode(
+                "ascii", errors="replace") for i in range(n)]
+        elif parse_names:
+            names = []
         return ReadBatch(
             n=n,
             ref_id=_as_array(lib.bam_col_ref_id(self._h), n, np.int32),
@@ -150,10 +166,14 @@ class NativeBamReader:
             seq=_as_array(lib.bam_col_seq(self._h), total_bases, np.int8),
             qual=_as_array(lib.bam_col_qual(self._h), total_bases, np.uint8),
             end_pos=_as_array(lib.bam_col_end_pos(self._h), n, np.int32),
+            names=names,
+            mate_ref_id=_as_array(lib.bam_col_mate_ref_id(self._h), n,
+                                  np.int32),
+            mate_pos=_as_array(lib.bam_col_mate_pos(self._h), n, np.int32),
         )
 
-    def fetch(self, ref_id: Optional[int] = None):
-        batch = self._fetch_impl(ref_id)
+    def fetch(self, ref_id: Optional[int] = None, parse_names: bool = False):
+        batch = self._fetch_impl(ref_id, parse_names)
         batch._from_native_handle = True
         return batch
 

@@ -101,6 +101,10 @@ class GeminiOptions:
     minimum_unanchored_insertion_length: int = 0
     pair_aware_everything: bool = False
     softclip_unknown_indels: bool = False
+    # block streaming (DataflowReadEvaluator.ProcessBam / GeminiOptions
+    # RegionSize): process the BAM in fixed-size genomic blocks with
+    # EdgeState boundary-pair handoff; 0 = whole-chromosome batches
+    region_size: int = 0
 
 
 def build_indel_source(chrom_name: str, refseq_str: str, batch: ReadBatch,
@@ -471,30 +475,36 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
         # reference -OutFolder semantics: write <folder>/<bam name>
         out_path = os.path.join(out_path, os.path.basename(bam_path))
     genome = Genome(genome_dir)
-    reader = BamReader(bam_path)  # python reader (we need read names)
-    names = _read_names(reader)
+    from pisces_tpu.io.native import open_bam
+    reader = open_bam(bam_path)  # native decode incl. read names
 
     writer = BamWriter(out_path, reader.header.ref_names,
                        reader.header.ref_lengths,
                        extra_header_text="@PG\tID:gemini-tpu\tPN:gemini-tpu\n")
     total_stats = defaultdict(int)
     csv_rows: List[str] = []
+    stream = options.region_size > 0 and os.path.exists(bam_path + ".bai")
+    lazy = BamReader(bam_path, lazy=True) if stream else None
     for chrom_name in genome.chromosome_names:
         if chrom_name not in reader.header.ref_names:
             continue
         if options.chromosomes and chrom_name not in options.chromosomes:
             continue
         rid = reader.header.ref_index(chrom_name)
-        batch = reader.fetch(rid)
-        batch_names = _names_for_batch(reader, rid, names)
         refseq = genome.get_chr_reference(chrom_name).sequence
-        records, stats = process_chromosome(chrom_name, refseq, batch, options,
-                                            batch_names,
-                                            indel_csv_rows=csv_rows)
-        for k, v in stats.items():
-            total_stats[k] += v
-        for r in records:
-            writer.add(r)
+        if stream:
+            blocks = stream_blocks(lazy, rid, len(refseq),
+                                   options.region_size)
+        else:
+            blocks = [reader.fetch(ref_id=rid, parse_names=True)]
+        for batch in blocks:
+            records, stats = process_chromosome(chrom_name, refseq, batch,
+                                                options, batch.names,
+                                                indel_csv_rows=csv_rows)
+            for k, v in stats.items():
+                total_stats[k] += v
+            for r in records:
+                writer.add(r)
     writer.write(sort=True, index=True)  # sorted + .bai (samtools sort/index
     # merge step of the reference GeminiWorkflow.cs:62-101, done natively)
     with open(out_path + ".indels.csv", "w") as f:
@@ -510,17 +520,15 @@ def run_gemini(bam_path: str, genome_dir: str, out_path: Optional[str] = None,
 def _gemini_chrom_worker(args):
     """One chromosome in a worker process: writes a per-chr BAM shard."""
     bam_path, genome_dir, chrom_name, shard_path, opt_dict = args
-    from pisces_tpu.io.bam import BamReader
+    from pisces_tpu.io.native import open_bam
     options = GeminiOptions(**opt_dict)
     genome = Genome(genome_dir)
-    reader = BamReader(bam_path)
+    reader = open_bam(bam_path)
     rid = reader.header.ref_index(chrom_name)
-    batch = reader.fetch(rid)
-    names = _read_names(reader)
-    batch_names = _names_for_batch(reader, rid, names)
+    batch = reader.fetch(ref_id=rid, parse_names=True)
     refseq = genome.get_chr_reference(chrom_name).sequence
     records, stats = process_chromosome(chrom_name, refseq, batch, options,
-                                        batch_names)
+                                        batch.names)
     w = BamWriter(shard_path, reader.header.ref_names,
                   reader.header.ref_lengths)
     for r in records:
@@ -580,31 +588,34 @@ def run_gemini_multi(bam_path: str, genome_dir: str,
     return out_path
 
 
-def _read_names(reader) -> List[str]:
-    """Decode read names for all records (python reader internals)."""
-    import struct
-    d = reader._data
-    names = []
-    offsets = reader._scan_record_offsets()
-    for i in range(len(offsets) - 1):
-        off = int(offsets[i])
-        l_read_name = d[off + 12]
-        name = d[off + 36:off + 36 + l_read_name - 1].decode()
-        names.append(name)
-    return names
-
-
-def _names_for_batch(reader, ref_id: int, all_names: List[str]) -> List[str]:
-    import struct
-    d = reader._data
-    offsets = reader._scan_record_offsets()
-    out = []
-    for i in range(len(offsets) - 1):
-        off = int(offsets[i])
-        rid = struct.unpack_from("<i", d, off + 4)[0]
-        if rid == ref_id:
-            out.append(all_names[i])
-    return out
+def stream_blocks(reader, rid: int, chrom_len: int, region_size: int):
+    """Block-wise read iteration with EdgeState boundary-pair handoff
+    (DataflowReadEvaluator.cs:38-375, EdgeState.cs): each block owns the
+    reads STARTING inside it (fetched via the .bai with bounded inflation);
+    a read whose mate starts in a later block is carried forward so the
+    pair stitches/realigns together in the mate's block."""
+    from pisces_tpu.io.bam import (
+        FLAG_MATE_UNMAPPED, FLAG_PAIRED, concat_batches, subset_batch,
+    )
+    carry = None
+    for b0 in range(0, chrom_len, region_size):
+        b1 = min(b0 + region_size, chrom_len)
+        batch = reader.fetch_region(rid, b0, b1, parse_names=True)
+        block = subset_batch(batch, batch.pos >= b0)
+        if carry is not None and carry.n:
+            block = concat_batches(carry, block)
+        carry = None
+        if b1 < chrom_len and block.mate_pos is not None:
+            hold = ((block.flag & FLAG_PAIRED) != 0)
+            hold &= (block.flag & FLAG_MATE_UNMAPPED) == 0
+            hold &= block.mate_ref_id == rid
+            hold &= block.mate_pos >= b1
+            if hold.any():
+                carry = subset_batch(block, hold)
+                block = subset_batch(block, ~hold)
+        yield block
+    if carry is not None and carry.n:
+        yield carry
 
 
 def main(argv=None) -> int:
@@ -677,8 +688,11 @@ def main(argv=None) -> int:
     a("-minimumunanchoredinsertionlength", type=int, default=0)
     a("-pairawareeverything", default="false")
     a("-softclipunknownindels", default="false")
+    a("-regionsize", type=int, default=0,
+      help="stream each chromosome in blocks of this many bases with "
+           "boundary-pair handoff (needs a .bai); 0 = whole chromosome")
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
-                 "-readcachesize", "-numconcurrentregions", "-regionsize",
+                 "-readcachesize", "-numconcurrentregions",
                  "-binsize", "-keepunmerged",
                  "-sortperchrom", "-indexperchrom",
                  "-trackmismatches", "-logregionsandrealignments",
@@ -711,6 +725,7 @@ def main(argv=None) -> int:
         args.minimumunanchoredinsertionlength
     options.pair_aware_everything = _b(args.pairawareeverything)
     options.softclip_unknown_indels = _b(args.softclipunknownindels)
+    options.region_size = args.regionsize
     options.trust_softclips = _b(args.trustsoftclips)
     options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
     options.skip_and_remove_dups = _b(args.skipandremovedups)

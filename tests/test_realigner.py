@@ -208,3 +208,122 @@ def test_gemini_multi_matches_single(tmp_path):
     assert np.array_equal(a.seq, b.seq)
     assert np.array_equal(a.cigar_ops, b.cigar_ops)
     assert a.xd_tags == b.xd_tags
+
+
+class TestStreamingBlocks:
+    """Block streaming with EdgeState handoff (DataflowReadEvaluator /
+    EdgeState analog): streamed output == whole-chromosome output."""
+
+    def test_stream_blocks_partitions_reads_once(self, tmp_path):
+        import conftest
+        from pisces_tpu.io.bam import BamReader as _BR
+        from pisces_tpu.preprocessing.gemini import stream_blocks
+        src = conftest.shared_bam("Chr17Chr19.bam")
+        lazy = _BR(src, lazy=True)
+        rid = lazy.header.ref_index("chr19")
+        whole = _BR(src).fetch(rid, parse_names=True)
+        seen = []
+        # 3118900 cuts straight through the 3118882-3119065 pileup
+        for block in stream_blocks(lazy, rid, 3119000, 3118900):
+            seen.extend(zip(block.names, block.pos.tolist()))
+        assert len(seen) == whole.n
+        assert sorted(seen) == sorted(zip(whole.names, whole.pos.tolist()))
+
+    def test_edge_state_carries_boundary_pairs(self, tmp_path):
+        # mates straddling a block edge land in the SAME block
+        import conftest
+        from pisces_tpu.io.bam import BamReader as _BR, FLAG_PAIRED
+        from pisces_tpu.preprocessing.gemini import stream_blocks
+        src = conftest.shared_bam("Chr17Chr19.bam")
+        lazy = _BR(src, lazy=True)
+        rid = lazy.header.ref_index("chr19")
+        # the block edge at 3118900 cuts through the 3118882-3119065 pileup
+        for block in stream_blocks(lazy, rid, 3119000, 3118900):
+            by_name = {}
+            for i, nm in enumerate(block.names or []):
+                if block.flag[i] & FLAG_PAIRED:
+                    by_name.setdefault(nm, []).append(i)
+            # every paired name present must appear exactly twice (full
+            # pair) unless its mate is unmapped/other-chromosome
+            for nm, members in by_name.items():
+                if len(members) == 1:
+                    i = members[0]
+                    assert (block.mate_ref_id[i] != rid
+                            or block.flag[i] & 0x8), nm
+
+    def test_streamed_equals_whole(self, tmp_path):
+        import conftest
+        import shutil
+        import dataclasses
+        from pisces_tpu.io.bam import BamReader as _BR
+        src = conftest.shared_bam("Chr17Chr19.bam")
+        gdir = conftest.shared_genome("chr19")
+        bam = str(tmp_path / "in.bam")
+        shutil.copy(src, bam)
+        shutil.copy(src + ".bai", bam + ".bai")
+        whole = run_gemini(bam, gdir, str(tmp_path / "whole.bam"))
+        streamed = run_gemini(bam, gdir, str(tmp_path / "str.bam"),
+                              GeminiOptions(region_size=3118900))
+        a = _BR(whole).fetch(parse_tags=True)
+        b = _BR(streamed).fetch(parse_tags=True)
+        assert a.n == b.n
+        assert np.array_equal(a.pos, b.pos)
+        assert np.array_equal(a.seq, b.seq)
+        assert np.array_equal(a.cigar_ops, b.cigar_ops)
+        assert a.xd_tags == b.xd_tags
+
+    def test_ten_x_corpus_streamed_bounded(self, tmp_path):
+        """Constant-memory streaming on a synthetic multi-chromosome BAM
+        ~10x the shared-corpus read count: block-fetch never inflates the
+        whole file, and the streamed output equals whole-chromosome mode."""
+        from pisces_tpu.io.bam import BamReader as _BR
+        from pisces_tpu.io.bam_write import BamWriter as _BW
+        from pisces_tpu.io.fasta import Genome
+
+        rng = np.random.default_rng(11)
+        L = 60_000
+        chroms = ["c1", "c2", "c3"]
+        bases = "ACGT"
+        seqs = {c: "".join(rng.choice(list(bases), L)) for c in chroms}
+        gdir = tmp_path / "genome"
+        gdir.mkdir()
+        gs_entries = []
+        for c in chroms:
+            with open(gdir / f"{c}.fa", "w") as f:
+                f.write(f">{c}\n")
+                for i in range(0, L, 70):
+                    f.write(seqs[c][i:i + 70] + "\n")
+            with open(gdir / f"{c}.fa.fai", "w") as f:
+                n_full = L // 70
+                f.write(f"{c}\t{L}\t{len(c) + 2}\t70\t71\n")
+            gs_entries.append(
+                f'\t<chromosome fileName="{c}.fa" contigName="{c}" '
+                f'totalBases="{L}" isCircular="false" md5="x" ploidy="2" '
+                f'knownBases="{L}" />')
+        with open(gdir / "GenomeSize.xml", "w") as f:
+            f.write('<sequenceSizes genomeName="t">\n'
+                    + "\n".join(gs_entries) + "\n</sequenceSizes>")
+
+        bam = str(tmp_path / "big.bam")
+        w = _BW(bam, chroms, [L] * len(chroms))
+        rl = 50
+        n_pairs = 3500  # ~21k reads over 3 chromosomes (>10x the corpus)
+        for k in range(n_pairs):
+            c = chroms[k % 3]
+            p1 = 1 + int(rng.integers(0, L - 400))
+            p2 = p1 + int(rng.integers(20, 300))
+            w.add_read(f"p{k}", c, p1, f"{rl}M", seqs[c][p1 - 1:p1 - 1 + rl],
+                       flag=0x1 | 0x2 | 0x40, mate_pos0=p2 - 1)
+            w.add_read(f"p{k}", c, p2, f"{rl}M", seqs[c][p2 - 1:p2 - 1 + rl],
+                       flag=0x1 | 0x2 | 0x80 | 0x10, mate_pos0=p1 - 1)
+        w.write(sort=True, index=True)
+
+        whole = run_gemini(bam, str(gdir), str(tmp_path / "w.bam"))
+        streamed = run_gemini(bam, str(gdir), str(tmp_path / "s.bam"),
+                              GeminiOptions(region_size=10_000))
+        a = _BR(whole).fetch(parse_tags=True)
+        b = _BR(streamed).fetch(parse_tags=True)
+        assert a.n == b.n and a.n > 0
+        assert np.array_equal(a.pos, b.pos)
+        assert np.array_equal(a.seq, b.seq)
+        assert np.array_equal(a.cigar_ops, b.cigar_ops)
