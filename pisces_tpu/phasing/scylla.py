@@ -332,6 +332,9 @@ class ScyllaOptions:
         # SoftClipSupportParameters (PhasingOptions.cs:26-29)
         self.use_soft_clipped_reads = False
         self.min_size_for_clip_rescue = 6
+        # neighborhood task parallelism (VariantPhaser.cs:44-100 batches
+        # neighborhoods through JobManager with -MaxNumThreads)
+        self.max_num_threads = 1
 
 
 def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
@@ -607,33 +610,69 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
         neighborhoods = neighborhoods[:options.phasable.max_num_nbhds_to_process]
     log(f"Scylla: {len(neighborhoods)} neighborhoods to phase")
 
-    # per-chromosome read batches
+    # read access: per-neighborhood .bai region fetch when indexed (the
+    # reference's VeadGroupSource + BamReader.Jump, VeadGroupSource.cs), a
+    # cached whole-chromosome batch otherwise
+    import os as _os
+    import threading as _threading
     bam = open_bam(bam_path)
+    lazy = None
+    if _os.path.exists(bam_path + ".bai"):
+        from pisces_tpu.io.bam import BamReader as _PyBamReader
+        lazy = _PyBamReader(bam_path, lazy=True)
     batches: Dict[str, tuple] = {}
+    refs: Dict[str, object] = {}
+    cache_lock = _threading.Lock()
 
-    for nbhd in neighborhoods:
-        if nbhd.chrom not in batches:
-            if nbhd.chrom in bam.header.ref_names:
-                b = bam.fetch(bam.header.ref_index(nbhd.chrom))
-                k = filter_batch(b, options.min_map_quality,
-                                 options.remove_duplicates,
-                                 options.only_use_proper_pairs)
-                refseq = None
-                if genome is not None and nbhd.chrom in genome.chromosome_names:
-                    refseq = genome.get_chr_reference(nbhd.chrom).sequence
-                batches[nbhd.chrom] = (b, k, refseq)
-            else:
-                batches[nbhd.chrom] = (None, None, None)
-        if (options.phasable.filtered_nbhd_to_process
-                and nbhd.id != options.phasable.filtered_nbhd_to_process):
-            continue
-        b, k, refseq = batches[nbhd.chrom]
-        if b is None:
-            continue
+    def _refseq_for(chrom: str):
+        with cache_lock:
+            if chrom not in refs:
+                refs[chrom] = (genome.get_chr_reference(chrom).sequence
+                               if genome is not None
+                               and chrom in genome.chromosome_names else None)
+            return refs[chrom]
+
+    def _reads_for(nbhd: Neighborhood):
+        if nbhd.chrom not in bam.header.ref_names:
+            return None
+        if lazy is not None:
+            rid = lazy.header.ref_index(nbhd.chrom)
+            beg0 = max(0, nbhd.sites[0].position - 1
+                       - options.min_size_for_clip_rescue - 500)
+            end0 = (max(s.position + len(s.ref) for s in nbhd.sites)
+                    + options.min_size_for_clip_rescue + 500)
+            b = lazy.fetch_region(rid, beg0, end0)
+        else:
+            with cache_lock:
+                if nbhd.chrom not in batches:
+                    batches[nbhd.chrom] = bam.fetch(
+                        bam.header.ref_index(nbhd.chrom))
+                b = batches[nbhd.chrom]
+        k = filter_batch(b, options.min_map_quality,
+                         options.remove_duplicates,
+                         options.only_use_proper_pairs)
+        return b, k
+
+    def _phase_one(nbhd: Neighborhood) -> None:
+        got = _reads_for(nbhd)
+        if got is None:
+            return
+        b, k = got
         try:
-            process_neighborhood(nbhd, b, k, refseq, options)
+            process_neighborhood(nbhd, b, k, _refseq_for(nbhd.chrom), options)
         except Exception as e:  # keep going per neighborhood (VariantPhaser)
             log(f"Error processing nbhd {nbhd.id}: {e}", "ERROR")
+
+    todo = [nbhd for nbhd in neighborhoods
+            if not (options.phasable.filtered_nbhd_to_process
+                    and nbhd.id != options.phasable.filtered_nbhd_to_process)]
+    if options.max_num_threads > 1:
+        from pisces_tpu.parallel.scheduler import JobManager
+        JobManager(options.max_num_threads, error_mode="none").process(
+            [(lambda n=nbhd: _phase_one(n)) for nbhd in todo])
+    else:
+        for nbhd in todo:
+            _phase_one(nbhd)
 
     # pass 2: merge phased calls back into the vcf stream
     _merge_to_output(vcf_path, out_path, neighborhoods)
@@ -748,6 +787,7 @@ def main(argv=None) -> int:
     a("-allowworstfitremoval", default="true")
     a("-usesoftclippedreads", default="false")
     a("-minsizeforcliprescue", type=int, default=6)
+    a("-t", "-maxnumthreads", dest="maxnumthreads", type=int, default=10)
     a("-debug", default="false")
     # shared BamFilter group
     a("-minbq", "-minbasecallquality", dest="minbq", type=int, default=20)
@@ -800,6 +840,7 @@ def main(argv=None) -> int:
     options.min_coverage = args.mindp
     options.max_q = args.maxvq
     options.crush_nbhd = _b(args.crushvcf)
+    options.max_num_threads = args.maxnumthreads
     out = run_scylla(args.vcf, args.bam, args.genome, args.out, options)
     log(f"wrote {out}")
     return 0

@@ -326,3 +326,35 @@ class TestSoftClipRescue:
         nb.set_range_of_interest(None)
         assert nb.soft_clip_end_before == 10
         assert nb.soft_clip_pos_after == 31
+
+
+def test_scylla_parallel_and_region_fetch_match_serial(tmp_path):
+    """Neighborhood task parallelism (VariantPhaser.cs:44-100) + per-
+    neighborhood .bai region fetch (VeadGroupSource/BamReader.Jump): output
+    must be byte-identical to the serial whole-chromosome path."""
+    import conftest
+    import shutil
+    from pisces_tpu.phasing.scylla import run_scylla, ScyllaOptions
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    vcf = os.path.join(SD, "chr21_11085587_S1.genome.vcf")
+    src_bam = os.path.join(SD, "chr21_11085587_S1.bam")
+
+    def run(sub, threads, with_bai):
+        d = tmp_path / sub
+        d.mkdir()
+        bam = str(d / "in.bam")
+        shutil.copy(src_bam, bam)
+        if with_bai and os.path.exists(src_bam + ".bai"):
+            shutil.copy(src_bam + ".bai", bam + ".bai")
+        o = ScyllaOptions()
+        o.max_num_threads = threads
+        out = run_scylla(vcf, bam, None, str(d), o)
+        return [l for l in open(out) if not l.startswith("##")]
+
+    serial = run("serial", 1, False)
+    threaded = run("threaded", 8, False)
+    assert serial == threaded
+    if os.path.exists(src_bam + ".bai"):
+        indexed = run("indexed", 8, True)
+        assert serial == indexed
