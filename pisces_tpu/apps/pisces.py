@@ -423,7 +423,9 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
               if options.priors_path else None)
 
     wcfg = VcfWriterConfig(options, has_forced_gt=bool(forced_alleles))
-    sample = os.path.basename(bam_path).split(".")[0]
+    # the reference's sample column is the bam file name incl. extension
+    # (VcfFileWriter header; cf. shipped expected outputs "PhiX_S3.bam")
+    sample = os.path.basename(bam_path)
     bias_writer = None
     amp_bias_writer = None
     if options.output_bias_files:

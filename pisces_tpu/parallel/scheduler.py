@@ -144,7 +144,10 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
                                stem + (".genome.vcf" if gvcf else ".vcf"))
         outputs.append(out_vcf)
         wcfg = VcfWriterConfig(options, has_forced_gt=bool(forced))
-        writer = VcfWriter(out_vcf, wcfg, genome.directory, stem,
+        # sample column = bam file name incl. extension (reference
+        # VcfFileWriter; cf. shipped expected outputs "PhiX_S3.bam")
+        writer = VcfWriter(out_vcf, wcfg, genome.directory,
+                           os.path.basename(bam_path),
                            genome.chromosome_lengths, options.command_line)
         writer.write_header()
         writers[bam_path] = (writer, OrderedChromosomeWriter(chrom_names))

@@ -335,6 +335,7 @@ class ScyllaOptions:
         # neighborhood task parallelism (VariantPhaser.cs:44-100 batches
         # neighborhoods through JobManager with -MaxNumThreads)
         self.max_num_threads = 1
+        self.no_call_filter_threshold = 0.6  # -ncfilter
 
 
 def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
@@ -540,6 +541,11 @@ def _call_mnvs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
             mnv.add_filter(FilterType.LOW_VARIANT_FREQUENCY)
         if mnv.total_coverage < options.low_depth_filter:
             mnv.add_filter(FilterType.LOW_DEPTH)
+        mnv.set_fraction_no_calls()
+        if (options.no_call_filter_threshold is not None
+                and mnv.category != AlleleCategory.REFERENCE
+                and mnv.fraction_no_calls > options.no_call_filter_threshold):
+            mnv.add_filter(FilterType.NO_CALL)
         found.setdefault(mnv.position, []).append(mnv)
     nbhd.called_variants = found
 
@@ -788,6 +794,7 @@ def main(argv=None) -> int:
     a("-usesoftclippedreads", default="false")
     a("-minsizeforcliprescue", type=int, default=6)
     a("-t", "-maxnumthreads", dest="maxnumthreads", type=int, default=10)
+    a("-ncfilter", type=float, default=0.6)
     a("-debug", default="false")
     # shared BamFilter group
     a("-minbq", "-minbasecallquality", dest="minbq", type=int, default=20)
@@ -841,6 +848,7 @@ def main(argv=None) -> int:
     options.max_q = args.maxvq
     options.crush_nbhd = _b(args.crushvcf)
     options.max_num_threads = args.maxnumthreads
+    options.no_call_filter_threshold = args.ncfilter
     out = run_scylla(args.vcf, args.bam, args.genome, args.out, options)
     log(f"wrote {out}")
     return 0
