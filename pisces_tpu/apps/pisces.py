@@ -32,6 +32,26 @@ from pisces_tpu.utils.logger import log
 from pisces_tpu.utils.metrics import metrics
 
 
+def _fast_gvcf_eligible(options: PiscesApplicationOptions,
+                        forced_alleles) -> bool:
+    """Whether the columnar fast-gVCF reference path applies.
+
+    The fused kernel implements SOMATIC ref-line GT/GQ, so diploid/haploid
+    ploidy goes through the object path; MNV mode and collapsed-count
+    reporting need per-candidate objects; crushed loci with forced alleles
+    need the colocated writer to merge ref+forced lines."""
+    from pisces_tpu.domain.types import PloidyModel as _PM
+    return (options.vcf_writing_parameters.output_gvcf_file
+            and options.use_fast_gvcf
+            and not options.call_mnvs
+            and not options.vcf_writing_parameters.report_rc_counts
+            and (options.variant_calling_parameters.ploidy_model
+                 == _PM.SOMATIC)
+            and (options.vcf_writing_parameters
+                 .allow_multiple_vcf_lines_per_loci
+                 or not forced_alleles))
+
+
 def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
                     bam: BamReader, intervals=None, use_device: bool = True,
                     forced_alleles=None, priors=None):
@@ -152,15 +172,7 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             fc.is_forced = True
             candidates.append(fc)
 
-    fast_gvcf = (options.vcf_writing_parameters.output_gvcf_file
-                 and options.use_fast_gvcf
-                 and not options.call_mnvs
-                 and not options.vcf_writing_parameters.report_rc_counts
-                 # crushed loci merge ref+forced alleles into one line,
-                 # which needs the object path's colocated writer
-                 and (options.vcf_writing_parameters
-                      .allow_multiple_vcf_lines_per_loci
-                      or not forced_alleles))
+    fast_gvcf = _fast_gvcf_eligible(options, forced_alleles)
     if options.vcf_writing_parameters.output_gvcf_file and not fast_gvcf:
         candidates = candidates + make_reference_candidates(
             chrom.name, chrom.sequence, pc, intervals)
@@ -454,9 +466,7 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             # windowed mode requires either no intervals, plain-VCF output,
             # or the columnar fast-gVCF path (which folds RegionMapper
             # interval padding into its per-window reference lines)
-            fast_eligible = (gvcf and not options.call_mnvs
-                             and not options.vcf_writing_parameters
-                             .report_rc_counts)
+            fast_eligible = _fast_gvcf_eligible(options, forced_alleles)
             win_ok = intervals is None or not gvcf or fast_eligible
             if options.window_size > 0 and win_ok:
                 from pisces_tpu.io.bam import BamReader as PyBamReader

@@ -152,11 +152,13 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
         writer.write_header()
         writers[bam_path] = (writer, OrderedChromosomeWriter(chrom_names))
 
-    bams = {p: open_bam(p) for p in bam_paths}
-
     def job(bam_path: str, chrom_name: str) -> None:
         _, ordered = writers[bam_path]
-        bam = bams[bam_path]
+        # one reader per (bam, chr) job, like the reference's per-job
+        # BamReader: the native handle's decoded-batch state is consumed by
+        # the downstream pileup call, so a handle cannot be shared across
+        # concurrently-running jobs
+        bam = open_bam(bam_path)
         if chrom_name not in bam.header.ref_names:
             ordered.submit(chrom_name, [])
             return

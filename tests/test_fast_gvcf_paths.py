@@ -100,3 +100,35 @@ class TestFastPathParity:
         dev = _run(tmp_path, "dev", True, intervals_text=INTERVALS,
                    use_device=True)
         assert host == dev
+
+
+def test_diploid_gvcf_not_fast_pathed(tmp_path):
+    """Diploid ref-line GT/GQ math differs from the somatic kernel: the
+    fast path must decline (regression for a real mismatch where diploid
+    gVCF ref lines got somatic genotyping when fast-pathed)."""
+    from pisces_tpu.apps.pisces import _fast_gvcf_eligible
+    from pisces_tpu.domain.types import PloidyModel
+
+    o = PiscesApplicationOptions()
+    o.vcf_writing_parameters.output_gvcf_file = True
+    o.validate()
+    assert _fast_gvcf_eligible(o, None)
+    o.variant_calling_parameters.ploidy_model = \
+        PloidyModel.DIPLOID_BY_THRESHOLDING
+    o.validate()
+    assert not _fast_gvcf_eligible(o, None)
+
+    def run(sub, fast):
+        d = tmp_path / sub
+        d.mkdir()
+        opts = PiscesApplicationOptions()
+        opts.output_directory = str(d)
+        opts.vcf_writing_parameters.output_gvcf_file = True
+        opts.variant_calling_parameters.ploidy_model = \
+            PloidyModel.DIPLOID_BY_THRESHOLDING
+        opts.use_fast_gvcf = fast
+        genome = Genome(conftest.shared_genome("chr19"))
+        out = process_bam(opts, BAM, genome, use_device=False)
+        return [l for l in open(out) if not l.startswith("##")]
+
+    assert run("fast", True) == run("slow", False)

@@ -53,3 +53,32 @@ def test_window_straddles_pileup(tmp_path):
     la = [l for l in open(whole) if not l.startswith("##")]
     lb = [l for l in open(windowed) if not l.startswith("##")]
     assert la == lb
+
+
+def test_windowed_mnv_mode_equals_whole(tmp_path):
+    """MNV mode under windowed streaming: failed-MNV reallocation near
+    window boundaries must not change output (the margin supplies the
+    spill context the reference's MnvReallocator carries between blocks,
+    MnvReallocator.cs:31-50)."""
+    bam = conftest.shared_bam("Chr17Chr19.bam")
+    genome = Genome(conftest.shared_genome("chr19"))
+
+    def run(sub, win):
+        d = tmp_path / sub
+        d.mkdir()
+        o = PiscesApplicationOptions()
+        o.output_directory = str(d)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        o.call_mnvs = True
+        o.max_size_mnv = 10
+        o.max_gap_between_mnv = 5
+        o.window_size = win
+        return process_bam(o, bam, genome, use_device=False)
+
+    whole = run("whole", 0)
+    # boundary at 3118900 cuts straight through the covered pileup
+    windowed = run("win", 3118900)
+    la = [l for l in open(whole) if not l.startswith("##")]
+    lb = [l for l in open(windowed) if not l.startswith("##")]
+    assert la == lb
+    assert len(la) > 100
