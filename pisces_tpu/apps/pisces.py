@@ -227,14 +227,14 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             sb_acceptance=v.strand_bias_acceptance_criteria,
             no_call_filter=v.no_call_filter_threshold)
         with metrics.stage("gvcf_scoring"):
-            if mesh_mode and mesh_events is not None and intervals is None:
+            if mesh_mode and mesh_events is not None:
                 from pisces_tpu.parallel.sharding import (
                     get_mesh, sharded_score_reference_positions,
                 )
                 positions, scored, shard_stats = \
                     sharded_score_reference_positions(
                         mesh_events, chrom.sequence, params,
-                        get_mesh(options.mesh_devices))
+                        get_mesh(options.mesh_devices), intervals)
                 for _sk, _sv in shard_stats.items():
                     metrics.count(_sk, _sv)
             else:

@@ -207,7 +207,8 @@ def _build_step(mesh: Mesh, params: ScoringParams, l_local: int, halo: int):
 
 
 def sharded_score_reference_positions(ev: BaseEvents, refseq: np.ndarray,
-                                      params: ScoringParams, mesh: Mesh):
+                                      params: ScoringParams, mesh: Mesh,
+                                      intervals=None):
     """Production mesh execution of the dense gVCF reference-locus scoring.
 
     Routes reads to position shards, builds partial count buffers, runs the
@@ -238,39 +239,96 @@ def sharded_score_reference_positions(ev: BaseEvents, refseq: np.ndarray,
      sb_gatk, called, covered) = step(partial_d, ref_d)
 
     touched = np.asarray(touched)
-    in_ref = positions <= len(refseq)
-    sel = (touched > 0) & in_ref
-    positions = positions[sel]
     stats = {"loci_called": int(called), "loci_covered": int(covered)}
-    if len(positions) == 0:
-        return positions, None, stats
 
-    sup3 = np.asarray(sup_by_dir)[sel]
-    cov3 = np.asarray(cov_by_dir)[sel]
-    vals = {
-        "total_coverage": np.asarray(total_cov)[sel],
-        "support": np.asarray(support)[sel],
-        "variant_qscore": np.asarray(q)[sel],
-        "genotype": np.asarray(gt)[sel],
-        "gq": np.asarray(gq)[sel],
-        "sb_gatk": np.asarray(sb_gatk)[sel],
-    }
-    # Collapse to unique (sup_by_dir, cov_by_dir) tuples so line formatting
-    # memoizes per tuple exactly like the single-device fast path; every
-    # scored value is a pure function of the tuple, so the representative
-    # (first-occurrence) row carries the unique value.
-    key = np.concatenate([sup3, cov3], axis=1)
-    hi = int(key.max(initial=0))
+    pad_flag = None
+    if intervals is None:
+        in_ref = positions <= len(refseq)
+        sel = (touched > 0) & in_ref
+        positions = positions[sel]
+        if len(positions) == 0:
+            return positions, None, stats
+        sup3 = np.asarray(sup_by_dir)[sel]
+        cov3 = np.asarray(cov_by_dir)[sel]
+        vals = {
+            "total_coverage": np.asarray(total_cov)[sel],
+            "support": np.asarray(support)[sel],
+            "variant_qscore": np.asarray(q)[sel],
+            "genotype": np.asarray(gt)[sel],
+            "gq": np.asarray(gq)[sel],
+            "sb_gatk": np.asarray(sb_gatk)[sel],
+        }
+    else:
+        # interval mode: EVERY interval position is emitted, padded rows
+        # (outside any touched 1000-bp block) carry the RegionMapper
+        # semantics (distinct NL) exactly like the single-device fast path
+        from pisces_tpu.domain.types import Genotype
+        from pisces_tpu.options import REGION_SIZE
+        ranges = intervals.clipped_ranges(1, len(refseq))
+        if not ranges:
+            return np.empty(0, np.int64), None, stats
+        int_pos = np.concatenate(
+            [np.arange(rs, re_ + 1, dtype=np.int64) for rs, re_ in ranges])
+        in_domain = (int_pos >= geo.domain_start) \
+            & (int_pos < geo.domain_start + geo.l_pad)
+        idx = np.where(in_domain, int_pos - geo.domain_start, 0)
+
+        def gather(arr, zero):
+            a = np.asarray(arr)
+            out_a = a[idx]
+            if out_a.ndim == 1:
+                return np.where(in_domain, out_a, zero)
+            return np.where(in_domain[:, None], out_a, zero)
+
+        sup3 = gather(sup_by_dir, 0)
+        cov3 = gather(cov_by_dir, 0)
+        # zero-tuple outputs are forced by explicit masks in the kernel
+        # (total==0 => q 0, gq min_gq, REF_LIKE_NOCALL, sb 0.0), so the
+        # out-of-domain substitutes are exact
+        vals = {
+            "total_coverage": gather(total_cov, 0),
+            "support": gather(support, 0),
+            "variant_qscore": gather(q, 0),
+            "genotype": gather(gt, int(Genotype.REF_LIKE_NOCALL)),
+            "gq": gather(gq, params.min_gq),
+            "sb_gatk": gather(sb_gatk, np.float32(0.0)),
+        }
+        # padding = outside any TOUCHED genome-aligned 1000-bp block
+        # (matches pc.pos_index(pos) < 0 in the single-device path)
+        block_keys = (positions + REGION_SIZE - 1) // REGION_SIZE
+        touched_blocks = np.unique(block_keys[touched > 0])
+        int_blocks = (int_pos + REGION_SIZE - 1) // REGION_SIZE
+        bi = np.searchsorted(touched_blocks, int_blocks)
+        bi = np.minimum(bi, max(len(touched_blocks) - 1, 0))
+        in_touched = (len(touched_blocks) > 0) \
+            & (touched_blocks[bi] == int_blocks)
+        pad_flag = (~in_touched).astype(np.int64)
+        positions = int_pos
+
+    # Collapse to unique (sup_by_dir, cov_by_dir[, padding]) tuples so line
+    # formatting memoizes per tuple exactly like the single-device fast
+    # path; every scored value is a pure function of the tuple, so the
+    # representative (first-occurrence) row carries the unique value.
+    cols = [sup3, cov3]
+    if pad_flag is not None:
+        cols.append(pad_flag.reshape(-1, 1))
+    key = np.concatenate(cols, axis=1)
+    k = key.shape[1]
+    hi = int(key[:, :6].max(initial=0))
     if 0 <= int(key.min(initial=0)) and hi < (1 << 10):
         packed = np.zeros(len(key), dtype=np.int64)
         for j in range(6):
             packed = (packed << 10) | key[:, j].astype(np.int64)
+        if k > 6:
+            packed = (packed << 1) | key[:, 6].astype(np.int64)
         _, first, inv = np.unique(packed, return_index=True,
                                   return_inverse=True)
     else:
         _, first, inv = np.unique(key, axis=0, return_index=True,
                                   return_inverse=True)
-    out = {k: v[first] for k, v in vals.items()}
+    out = {k2: v[first] for k2, v in vals.items()}
+    if pad_flag is not None:
+        out["is_padding"] = pad_flag[first].astype(bool)
     out["inv"] = inv
     out["ref_base"] = refseq[positions - 1]
     return positions, out, stats

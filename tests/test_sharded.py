@@ -146,3 +146,36 @@ class TestMultiHostEntry:
         la = [l for l in open(plain) if not l.startswith("#")]
         lb = [l for l in open(merged) if not l.startswith("#")]
         assert la == lb
+
+
+class TestShardedWithIntervals:
+    def test_interval_vcf_bytes_identical(self, tmp_path):
+        """Mesh mode with intervals: padded + in-block interval positions
+        carry the same RegionMapper/NL semantics as the single-device path."""
+        testdata = os.path.join(conftest.REFERENCE_ROOT,
+                                "src/test/Pisces.Tests/TestData")
+        bam = os.path.join(testdata, "Chr17again.bam")
+        genome = Genome(conftest.shared_genome("chr19"))
+        intervals = ("chr19\t3118870\t3118895\n"
+                     "chr19\t3118940\t3118960\n"
+                     "chr19\t3000000\t3000019\n")
+
+        def run(sub, mesh):
+            d = tmp_path / sub
+            d.mkdir()
+            o = PiscesApplicationOptions()
+            o.output_directory = str(d)
+            o.vcf_writing_parameters.output_gvcf_file = True
+            o.mesh_devices = mesh
+            ipath = os.path.join(str(d), "i.picard")
+            with open(ipath, "w") as f:
+                f.write(intervals)
+            o.interval_paths = [ipath]
+            return process_bam(o, bam, genome, use_device=True)
+
+        single = run("single", 0)
+        sharded = run("mesh8", 8)
+        la = [l for l in open(single) if not l.startswith("##")]
+        lb = [l for l in open(sharded) if not l.startswith("##")]
+        assert la == lb
+        assert any(l.startswith("chr19\t3000000\t") for l in la)
