@@ -152,27 +152,43 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
         writer.write_header()
         writers[bam_path] = (writer, OrderedChromosomeWriter(chrom_names))
 
+    # The native handle's decoded-batch state is consumed by the downstream
+    # pileup call, so a handle cannot be shared across concurrently-running
+    # jobs. A per-bam pool bounds the number of full-file inflations to the
+    # number of concurrent jobs instead of one per (bam, chr).
+    pools: Dict[str, List] = {p: [] for p in bam_paths}
+    pool_lock = threading.Lock()
+
+    def _borrow(bam_path: str):
+        with pool_lock:
+            if pools[bam_path]:
+                return pools[bam_path].pop()
+        return open_bam(bam_path)
+
+    def _give_back(bam_path: str, reader) -> None:
+        with pool_lock:
+            pools[bam_path].append(reader)
+
     def job(bam_path: str, chrom_name: str) -> None:
         _, ordered = writers[bam_path]
-        # one reader per (bam, chr) job, like the reference's per-job
-        # BamReader: the native handle's decoded-batch state is consumed by
-        # the downstream pileup call, so a handle cannot be shared across
-        # concurrently-running jobs
-        bam = open_bam(bam_path)
-        if chrom_name not in bam.header.ref_names:
-            ordered.submit(chrom_name, [])
-            return
-        chrom = cache.get(chrom_name)
+        bam = _borrow(bam_path)
         try:
-            intervals = _load_intervals(options, chrom_name)
-            alleles = call_chromosome(options, chrom, bam, intervals,
-                                      use_device, forced)
-            ordered.submit(chrom_name, (alleles, intervals))
-        except Exception:
-            ordered.submit(chrom_name, [])
-            raise
+            if chrom_name not in bam.header.ref_names:
+                ordered.submit(chrom_name, [])
+                return
+            chrom = cache.get(chrom_name)
+            try:
+                intervals = _load_intervals(options, chrom_name)
+                alleles = call_chromosome(options, chrom, bam, intervals,
+                                          use_device, forced)
+                ordered.submit(chrom_name, (alleles, intervals))
+            except Exception:
+                ordered.submit(chrom_name, [])
+                raise
+            finally:
+                cache.release(chrom_name)
         finally:
-            cache.release(chrom_name)
+            _give_back(bam_path, bam)
 
     jobs = [(__import__("functools").partial(job, b, c))
             for c in chrom_names for b in bam_paths]
