@@ -273,47 +273,55 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     for a in variant_alleles:
         variant_positions.setdefault(a.position, []).append(a)
     if ref_lines is None:
-        positions = []
+        positions = np.empty(0, np.int64)
         lines = []
     else:
         positions, lines = ref_lines
+        positions = np.asarray(positions, dtype=np.int64)
     fh = writer._fh
     ri = 0
     n_ref = len(positions)
-    for pos in sorted(set(variant_positions) | set(int(p) for p in positions)):
-        while ri < n_ref and int(positions[ri]) < pos:
-            ri += 1
+
+    def _bulk_refs_upto(j: int) -> None:
+        nonlocal ri
+        while j > ri:
+            # chunked join: bounded peak memory on WGS-length runs
+            k = min(j, ri + 262_144)
+            fh.write("\n".join(lines[ri:k]))
+            fh.write("\n")
+            ri = k
+
+    for pos in sorted(variant_positions):
+        # bulk-write the run of reference lines before this variant locus
+        _bulk_refs_upto(int(np.searchsorted(positions, pos)))
         has_ref_line = ri < n_ref and int(positions[ri]) == pos
-        if pos in variant_positions:
-            at_pos = variant_positions[pos]
-            all_forced = all(getattr(a, "is_forced_to_report", False)
-                             for a in at_pos)
-            keep_ref = has_ref_line and all_forced
-            if writer.config.allow_multiple_vcf_lines_per_loci:
-                # locus ordering is by (ref, alt) with the reference line
-                # keyed by its base (AlleleCaller.cs:172-176 sort)
-                ref_key = None
-                if keep_ref:
-                    ref_base = lines[ri].split("\t", 4)[3]
-                    ref_key = (ref_base, ref_base)
-                wrote_ref = False
-                for a in at_pos:
-                    if (ref_key is not None and not wrote_ref
-                            and ref_key <= (a.ref_allele, a.alt_allele)):
-                        fh.write(lines[ri] + "\n")
-                        wrote_ref = True
-                    writer.write_colocated([a])
-                if ref_key is not None and not wrote_ref:
+        at_pos = variant_positions[pos]
+        all_forced = all(getattr(a, "is_forced_to_report", False)
+                         for a in at_pos)
+        keep_ref = has_ref_line and all_forced
+        if writer.config.allow_multiple_vcf_lines_per_loci:
+            # locus ordering is by (ref, alt) with the reference line
+            # keyed by its base (AlleleCaller.cs:172-176 sort)
+            ref_key = None
+            if keep_ref:
+                ref_base = lines[ri].split("\t", 4)[3]
+                ref_key = (ref_base, ref_base)
+            wrote_ref = False
+            for a in at_pos:
+                if (ref_key is not None and not wrote_ref
+                        and ref_key <= (a.ref_allele, a.alt_allele)):
                     fh.write(lines[ri] + "\n")
-            else:
-                if keep_ref:
-                    fh.write(lines[ri] + "\n")
-                writer.write_colocated(at_pos)
-            if has_ref_line:
-                ri += 1
-        elif has_ref_line:
-            fh.write(lines[ri] + "\n")
+                    wrote_ref = True
+                writer.write_colocated([a])
+            if ref_key is not None and not wrote_ref:
+                fh.write(lines[ri] + "\n")
+        else:
+            if keep_ref:
+                fh.write(lines[ri] + "\n")
+            writer.write_colocated(at_pos)
+        if has_ref_line:
             ri += 1
+    _bulk_refs_upto(n_ref)
 
 
 def load_forced_alleles(paths: List[str]) -> set:

@@ -283,7 +283,5 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
     inv_l = inv.tolist()
     base_l = ref_base.tobytes().decode("latin-1")
     prefix = chrom + "\t"
-    lines = [None] * n
-    for i in range(n):
-        lines[i] = f"{prefix}{pos_l[i]}\t.\t{base_l[i]}{tails[inv_l[i]]}"
-    return lines
+    return [f"{prefix}{p}\t.\t{b}{tails[v]}"
+            for p, b, v in zip(pos_l, base_l, inv_l)]
