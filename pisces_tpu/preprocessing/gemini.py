@@ -101,6 +101,9 @@ class GeminiOptions:
     minimum_unanchored_insertion_length: int = 0
     pair_aware_everything: bool = False
     softclip_unknown_indels: bool = False
+    # CategoriesForRealignment override (RealignmentOptions.cs:9-31);
+    # empty = the default REALIGN_CLASSES set
+    categories_to_realign: tuple = ()
     # block streaming (DataflowReadEvaluator.ProcessBam / GeminiOptions
     # RegionSize): process the BAM in fixed-size genomic blocks with
     # EdgeState boundary-pair handoff; 0 = whole-chromosome batches
@@ -162,7 +165,10 @@ def make_evaluator(source: ChromosomeIndelSource, refseq_str: str,
         minimum_unanchored_insertion_length=
         options.minimum_unanchored_insertion_length)
     judger = RealignmentJudger(comparer)
-    return RealignmentEvaluator(source, realigner, judger, refseq_str)
+    return RealignmentEvaluator(
+        source, realigner, judger, refseq_str,
+        softclip_unknown_indels=options.softclip_unknown_indels,
+        pair_aware_everything=options.pair_aware_everything)
 
 
 def _read_tuple(batch: ReadBatch, i: int):
@@ -216,10 +222,18 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         for cls in cls_map.values():
             stats[f"cls_{cls.name}"] += 1
 
+    from pisces_tpu.preprocessing.classify import (
+        REALIGN_CLASSES as _REALIGN_DEFAULT, PairClassification,
+    )
+    realign_classes = _REALIGN_DEFAULT
+    if options.categories_to_realign:
+        realign_classes = frozenset(
+            PairClassification[name] for name in options.categories_to_realign)
+
     def _realignable(i: int) -> bool:
         if cls_map is None:
             return True
-        return cls_map[i] in REALIGN_CLASSES
+        return cls_map[i] in realign_classes
 
     def _stitchable(i: int) -> bool:
         if cls_map is None:
@@ -691,12 +705,15 @@ def main(argv=None) -> int:
     a("-regionsize", type=int, default=0,
       help="stream each chromosome in blocks of this many bases with "
            "boundary-pair handoff (needs a .bai); 0 = whole chromosome")
+    a("-categoriestorealign", default=None,
+      help="comma-separated PairClassification names overriding the "
+           "default realignment category set")
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
                  "-readcachesize", "-numconcurrentregions",
                  "-binsize", "-keepunmerged",
                  "-sortperchrom", "-indexperchrom",
                  "-trackmismatches", "-logregionsandrealignments",
-                 "-categoriestorealign", "-categoriestosnowball",
+                 "-categoriestosnowball",
                  "-avoidlikelysnvs",
                  "-checksoftclipsformismatches",
                  "-stringtagstokeepfromr1",
@@ -726,6 +743,13 @@ def main(argv=None) -> int:
     options.pair_aware_everything = _b(args.pairawareeverything)
     options.softclip_unknown_indels = _b(args.softclipunknownindels)
     options.region_size = args.regionsize
+    if args.categoriestorealign:
+        # reference names are CamelCase (e.g. ImperfectStitched); our enum
+        # members are UPPER_SNAKE
+        import re as _re
+        options.categories_to_realign = tuple(
+            _re.sub(r"(?<!^)(?=[A-Z])", "_", c.strip()).upper()
+            for c in args.categoriestorealign.split(",") if c.strip())
     options.trust_softclips = _b(args.trustsoftclips)
     options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
     options.skip_and_remove_dups = _b(args.skipandremovedups)

@@ -1130,11 +1130,14 @@ class RealignmentEvaluator:
 
     def __init__(self, indel_source: ChromosomeIndelSource,
                  realigner: GeminiReadRealigner, judger: RealignmentJudger,
-                 refseq_str: str):
+                 refseq_str: str, softclip_unknown_indels: bool = False,
+                 pair_aware_everything: bool = False):
         self._source = indel_source
         self._realigner = realigner
         self._judger = judger
         self._ref = refseq_str
+        self._softclip_unknown = softclip_unknown_indels
+        self._pair_aware_everything = pair_aware_everything
         self.indel_outcomes: Dict[str, List[int]] = {}
 
     def _outcome(self, h: HashableIndel) -> List[int]:
@@ -1197,7 +1200,7 @@ class RealignmentEvaluator:
         if not indels or ref_span > 500:
             return pos1, list(cigar), False, False, [], []
 
-        pair_aware = bool(confirmed_accepteds)
+        pair_aware = bool(confirmed_accepteds) or self._pair_aware_everything
         result = self._realigner.realign(pos1, cigar, seq, quals, indels,
                                          self._ref, pair_specific=pair_aware,
                                          is_reverse=is_reverse,
@@ -1254,4 +1257,76 @@ class RealignmentEvaluator:
                 if idx < len(indels):
                     self._outcome(indels[idx])[0] += 1
             return pos1, list(cigar), False, True, [], []
+        if self._softclip_unknown and has_unsanctioned and existing_indels:
+            # realignment failed around an unrecognized indel: optionally
+            # softclip the untrusted indel out of the read
+            # (RealignmentEvaluator.cs:330-362, SoftclipAfterIndel)
+            new_pos, new_cigar = pos1, list(cigar)
+            clipped = False
+            for pre in sorted((e for e in existing_indels
+                               if e not in existing_matches),
+                              key=lambda x: x.position):
+                reverse_clip = False
+                clip_len = pre.right_anchor
+                if pre.left_anchor < pre.right_anchor:
+                    reverse_clip = True
+                    clip_len = pre.left_anchor
+                if clip_len > 20:
+                    continue  # well-anchored: keep the indel
+                new_pos, new_cigar = softclip_after_indel(
+                    new_pos, new_cigar, reverse_clip, pre.position)
+                clipped = True
+            if clipped:
+                return new_pos, new_cigar, True, False, [], []
         return pos1, list(cigar), False, False, [], []
+
+
+def softclip_after_indel(pos1: int, cigar, is_reverse: bool,
+                         first_collision: int):
+    """OverlappingIndelHelpers.SoftclipAfterIndel (OverlappingIndelHelpers
+    .cs:9-94): softclip the read portion outward of an untrusted indel.
+    Returns (new_pos1, new_cigar); positions are 1-based."""
+    ops = list(cigar)
+    hit_indel = False
+    hit_match = False
+    out = list(ops)
+    if is_reverse:
+        end_pos = pos1 - 1 + sum(ln for op, ln in ops if op in _REF_SPAN)
+        pos_adjust = 0
+        for i in range(len(ops) - 1, -1, -1):
+            op, ln = ops[i]
+            ref_span = op in _REF_SPAN
+            if op in (OP_D, OP_I) and \
+                    end_pos - (ln if ref_span else 1) <= first_collision - 1:
+                hit_indel = True
+            elif op == OP_M and not hit_indel:
+                hit_match = True
+            if hit_indel and hit_match:
+                if op not in (OP_S, 5):
+                    if ref_span:
+                        pos_adjust += ln
+                    out[i] = (OP_S, 0 if op == OP_D else ln)
+            if ref_span:
+                end_pos -= ln
+        new_pos1 = pos1 + pos_adjust
+    else:
+        ref_i = pos1 - 1
+        for i, (op, ln) in enumerate(ops):
+            if op in (OP_D, OP_I) and ref_i >= first_collision - 1:
+                hit_indel = True
+            elif op == OP_M and not hit_indel:
+                hit_match = True
+            if hit_indel and hit_match and op not in (OP_S, 5):
+                out[i] = (OP_S, 0 if op == OP_D else ln)
+            if op in _REF_SPAN:
+                ref_i += ln
+        new_pos1 = pos1
+    compressed = []
+    for op, ln in out:
+        if ln == 0:
+            continue
+        if compressed and compressed[-1][0] == op:
+            compressed[-1] = (op, compressed[-1][1] + ln)
+        else:
+            compressed.append((op, ln))
+    return new_pos1, compressed

@@ -327,3 +327,39 @@ class TestStreamingBlocks:
         assert np.array_equal(a.pos, b.pos)
         assert np.array_equal(a.seq, b.seq)
         assert np.array_equal(a.cigar_ops, b.cigar_ops)
+
+
+class TestSoftclipAfterIndel:
+    """OverlappingIndelHelpers.SoftclipAfterIndel scenarios."""
+
+    def test_forward_clip_after_indel(self):
+        from pisces_tpu.preprocessing.realigner import softclip_after_indel
+        # 10M 2D 10M at pos 1: clip everything from the deletion onward
+        pos, out = softclip_after_indel(1, cig("10M2D10M"), False, 10)
+        assert pos == 1
+        assert out == cig("10M10S")
+
+    def test_reverse_clip_before_indel(self):
+        from pisces_tpu.preprocessing.realigner import softclip_after_indel
+        pos, out = softclip_after_indel(1, cig("10M2D10M"), True, 12)
+        # leading 10M + the deletion get clipped; position advances past them
+        assert out == cig("10S10M")
+        assert pos == 13
+
+    def test_evaluator_softclips_unknown_indel(self):
+        # an existing weak indel with no sanctioned target nearby gets
+        # softclipped out when SoftclipUnknownIndels is on
+        comparer = GemBasicAlignmentComparer()
+        realigner = GeminiReadRealigner(comparer)
+        judger = RealignmentJudger(comparer)
+        other = _hashable(30, REF[29:31], REF[29])  # unrelated sanctioned
+        ev = RealignmentEvaluator(ChromosomeIndelSource([other]), realigner,
+                                  judger, REF, softclip_unknown_indels=True)
+        read = REF[0:10] + REF[13:23]
+        existing = [PreIndel("chr1", 10, REF[9:13], REF[9],
+                             left_anchor=10, right_anchor=10)]
+        pos, cigar_out, changed, confirmed, accepted, nified = \
+            ev.get_final_alignment(1, cig("10M3D10M"), read, [30] * 20,
+                                   existing_indels=existing)
+        assert changed
+        assert cigar_out == cig("10M10S")
