@@ -189,6 +189,45 @@ class BamReader:
         return len(self._scan_record_offsets()) - 1
 
     @staticmethod
+    def parse_all_tags(d: bytes, p: int, rec_end: int) -> Dict[str, object]:
+        """General typed tag decode (TagUtils analog, Alignment.Domain/
+        BamCommon.cs): every tag in the record's tag block as a Python
+        value — ints (cCsSiI), floats (f), chars (A), strings (Z/H), and
+        typed arrays (B)."""
+        _SIZE = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+                 ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+        _FMT = {ord("c"): "<b", ord("C"): "<B", ord("s"): "<h",
+                ord("S"): "<H", ord("i"): "<i", ord("I"): "<I",
+                ord("f"): "<f"}
+        out: Dict[str, object] = {}
+        while p + 3 <= rec_end:
+            tag = d[p:p + 2].decode("ascii", errors="replace")
+            typ = d[p + 2]
+            p += 3
+            if typ == ord("A"):
+                out[tag] = chr(d[p])
+                p += 1
+            elif typ in _FMT:
+                out[tag] = struct.unpack_from(_FMT[typ], d, p)[0]
+                p += _SIZE[typ]
+            elif typ in (ord("Z"), ord("H")):
+                end = d.find(b"\x00", p, rec_end)
+                end = end if end >= 0 else rec_end
+                out[tag] = d[p:end].decode("ascii", errors="replace")
+                p = end + 1
+            elif typ == ord("B"):
+                sub = d[p]
+                count = struct.unpack_from("<i", d, p + 1)[0]
+                vals = [struct.unpack_from(_FMT[sub], d,
+                                           p + 5 + _SIZE[sub] * k)[0]
+                        for k in range(count)] if sub in _FMT else []
+                out[tag] = vals
+                p += 5 + _SIZE.get(sub, 1) * count
+            else:
+                break
+        return out
+
+    @staticmethod
     def _parse_string_tags(d: bytes, p: int, rec_end: int) -> Dict[str, object]:
         """Extract Z-typed tags (XD stitched directions, XN amplicon, XR pair
         direction) and int tags (XV/XW UMI counts) from a record's tag block."""

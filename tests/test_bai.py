@@ -108,3 +108,30 @@ def test_empty_region_and_no_reads(tmp_path):
     assert lazy.fetch_region(1, 0, 10000).n == 0
     got = lazy.fetch_region(0, 0, 200)
     assert got.n == 1 and got.pos[0] == 99
+
+
+def test_parse_all_tags_roundtrip(tmp_path):
+    """General typed tag decode (TagUtils analog): every tag written comes
+    back with its type."""
+    import struct
+    from pisces_tpu.io.bam import BamReader
+    from pisces_tpu.io.bam_write import BamRecord, BamWriter
+
+    bam = str(tmp_path / "t.bam")
+    w = BamWriter(bam, ["chr1"], [1000])
+    rec = BamRecord("r1", 0, 9, 30, 0, [(0, 6)], "ACGTAC", [30] * 6,
+                    tags={"XD": "3F3R", "XN": "amp1"})
+    w.add(rec)
+    w.write(sort=False)
+
+    r = BamReader(bam)
+    offsets = r._scan_record_offsets()
+    d = r._data
+    off = int(offsets[0])
+    block_size = struct.unpack_from("<i", d, off)[0]
+    l_rn = d[off + 12]
+    n_cigar = struct.unpack_from("<H", d, off + 16)[0]
+    l_seq = struct.unpack_from("<i", d, off + 20)[0]
+    p = off + 36 + l_rn + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    tags = BamReader.parse_all_tags(d, p, off + 4 + block_size)
+    assert tags == {"XD": "3F3R", "XN": "amp1"}
