@@ -596,10 +596,14 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
     options = options or ScyllaOptions()
     out_dir = out_dir or os.path.dirname(vcf_path)
     os.makedirs(out_dir, exist_ok=True)
-    out_path = os.path.join(
-        out_dir,
-        os.path.basename(vcf_path).replace(".genome.vcf", "").replace(
-            ".vcf", "") + ".phased.genome.vcf")
+    # output name mirrors the input's flavor (Factory.cs:85-92)
+    base = os.path.basename(vcf_path)
+    if base.endswith(".genome.vcf"):
+        out_name = base[:-len(".genome.vcf")] + ".phased.genome.vcf"
+    else:
+        out_name = base[:-len(".vcf")] + ".phased.vcf" \
+            if base.endswith(".vcf") else base + ".phased.vcf"
+    out_path = os.path.join(out_dir, out_name)
 
     genome = Genome(genome_dir) if genome_dir else None
 
@@ -681,12 +685,32 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
             _phase_one(nbhd)
 
     # pass 2: merge phased calls back into the vcf stream
-    _merge_to_output(vcf_path, out_path, neighborhoods)
+    _merge_to_output(vcf_path, out_path, neighborhoods, options)
     return out_path
 
 
+def _writer_config(options: ScyllaOptions):
+    """PhasedVcfWriter configuration from the (possibly VCF-rehydrated)
+    Scylla options: frequency significant digits and filter tag thresholds
+    track the original Pisces settings."""
+    from pisces_tpu.io.vcf_write import VcfWriterConfig
+    from pisces_tpu.options import PiscesApplicationOptions
+    o = PiscesApplicationOptions()
+    v = o.variant_calling_parameters
+    v.minimum_frequency = options.min_frequency
+    v.minimum_frequency_filter = options.min_frequency_filter
+    v.minimum_variant_qscore = options.min_variant_qscore
+    v.minimum_variant_qscore_filter = options.min_variant_qscore_filter
+    v.minimum_coverage = options.min_coverage
+    v.low_depth_filter = options.low_depth_filter
+    v.maximum_variant_qscore = options.max_q
+    v.no_call_filter_threshold = options.no_call_filter_threshold
+    return VcfWriterConfig(o)
+
+
 def _merge_to_output(vcf_path: str, out_path: str,
-                     neighborhoods: List[Neighborhood]) -> None:
+                     neighborhoods: List[Neighborhood],
+                     options: Optional[ScyllaOptions] = None) -> None:
     """VcfMerger.WriteVariantsUptoIncludingNbhd over all neighborhoods."""
     from pisces_tpu.io.vcf_write import VcfWriterConfig, VcfWriter
 
@@ -695,7 +719,7 @@ def _merge_to_output(vcf_path: str, out_path: str,
     for nbhd in neighborhoods:
         nbhd_by_chrom.setdefault(nbhd.chrom, []).append(nbhd)
 
-    wcfg = VcfWriterConfig()
+    wcfg = _writer_config(options) if options else VcfWriterConfig()
     from pisces_tpu.io.vcf_write import VcfFormatter
     formatter = VcfFormatter(wcfg)
 
@@ -736,23 +760,40 @@ def _merge_to_output(vcf_path: str, out_path: str,
             out_alleles: List[Tuple[CalledAllele, Optional[str]]] = []
             mnvs_here = nbhd.called_variants.get(pos, [])
             wrote_mnv = bool(mnvs_here)
+            group_alleles = [(v, a) for v in group
+                             for a in to_called_alleles(v)]
             for mnv in mnvs_here:
-                out_alleles.append((mnv, None))
+                # identical allele with identical stats: keep the original
+                # line verbatim (VcfMerger.cs:226-236)
+                raw = None
+                for v, a in group_alleles:
+                    if (a.position == mnv.position
+                            and a.ref_allele == mnv.ref_allele
+                            and a.alt_allele == mnv.alt_allele
+                            and a.allele_support == mnv.allele_support
+                            and a.total_coverage == mnv.total_coverage
+                            and a.reference_support == mnv.reference_support):
+                        raw = v.raw_line
+                        break
+                out_alleles.append((mnv, raw))
             nbhd.called_variants[pos] = []
-            for v in group:
-                alleles = to_called_alleles(v)
-                for a in alleles:
-                    was_used = (a.position, a.ref_allele, a.alt_allele) in used_alleles
-                    if wrote_mnv and not was_used and not a.is_ref_type:
+            for v, a in group_alleles:
+                was_used = (a.position, a.ref_allele,
+                            a.alt_allele) in used_alleles
+                if wrote_mnv:
+                    # the phased MNVs own this locus: add back only unused
+                    # non-reference originals — never a CalledRefs line
+                    # (VcfMerger.cs:221-246)
+                    if not was_used and not a.is_ref_type:
                         out_alleles.append((a, v.raw_line))
-                    elif was_used:
-                        new_ref = nbhd.called_refs.get(a.position)
-                        if new_ref is not None and not any(
-                                x[0].position == pos and x[0].is_ref_type
-                                for x in out_alleles):
-                            out_alleles.append((new_ref, None))
-                    elif not wrote_mnv:
-                        out_alleles.append((a, v.raw_line))
+                elif was_used:
+                    new_ref = nbhd.called_refs.get(a.position)
+                    if new_ref is not None and not any(
+                            x[0].position == pos and x[0].is_ref_type
+                            for x in out_alleles):
+                        out_alleles.append((new_ref, None))
+                else:
+                    out_alleles.append((a, v.raw_line))
             out_alleles.sort(key=lambda t: (t[0].position, t[0].ref_allele,
                                             t[0].alt_allele))
             seen_lines = set()
@@ -763,6 +804,59 @@ def _merge_to_output(vcf_path: str, out_path: str,
                         out.write(raw + "\n")
                 else:
                     out.write(allele_line(a) + "\n")
+
+
+def pisces_defaults_from_vcf_header(vcf_path: str) -> dict:
+    """VcfConsumerAppParsingUtils.GetPiscesOptionsFromVcfHeader: the original
+    Pisces command line embedded in the input VCF supplies DEFAULTS for the
+    variant-calling settings; explicit Scylla CLI flags take precedence
+    (Scylla/Program.cs:58-77). Returns parser-default overrides keyed by
+    the Scylla parser's dest names."""
+    cmdline = None
+    try:
+        with open(vcf_path) as f:
+            for line in f:
+                if not line.startswith("##"):
+                    break
+                if line.startswith("##Pisces_cmdline="):
+                    cmdline = line[len("##Pisces_cmdline="):].strip()
+    except OSError:
+        return {}
+    if not cmdline:
+        return {}
+    toks = cmdline.replace('"', "").lower().split()
+    flag_map = {
+        "-minbq": ("minbq", int), "-minbasecallquality": ("minbq", int),
+        "-minmq": ("minmq", int), "-minmapquality": ("minmq", int),
+        "-minvq": ("minvq", int), "-minvariantqscore": ("minvq", int),
+        "-vqfilter": ("vqfilter", int),
+        "-variantqualityfilter": ("vqfilter", int),
+        "-minvf": ("minvf", float),
+        "-minimumvariantfrequency": ("minvf", float),
+        "-minimumfrequency": ("minvf", float),
+        "-vffilter": ("vffilter", float),
+        "-minvariantfrequencyfilter": ("vffilter", float),
+        "-c": ("mindp", int), "-mindp": ("mindp", int),
+        "-mindepth": ("mindp", int), "-mincoverage": ("mindp", int),
+        "-mindpfilter": ("mindpfilter", int),
+        "-mindepthfilter": ("mindpfilter", int),
+        "-maxvq": ("maxvq", int), "-maxvariantqscore": ("maxvq", int),
+        "-ncfilter": ("ncfilter", float),
+    }
+    out = {}
+    i = 0
+    while i < len(toks) - 1:
+        hit = flag_map.get(toks[i])
+        if hit is not None:
+            dest, typ = hit
+            try:
+                out[dest] = typ(toks[i + 1])
+            except ValueError:
+                pass
+            i += 2
+        else:
+            i += 1
+    return out
 
 
 def main(argv=None) -> int:
@@ -816,8 +910,15 @@ def main(argv=None) -> int:
       default=10)
     a("-maxvq", "-maxvariantqscore", dest="maxvq", type=int, default=100)
     a("-crushvcf", default="false")
-    args = p.parse_args(_normalize(list(argv if argv is not None
-                                        else sys.argv[1:])))
+    a("-ploidy", default="somatic",
+      help="somatic (default); diploid phased-genotype thresholding is "
+           "not implemented and falls back to somatic rescoring")
+    raw = _normalize(list(argv if argv is not None else sys.argv[1:]))
+    # the original Pisces settings embedded in the input VCF header are the
+    # DEFAULTS; explicit CLI flags win (Scylla/Program.cs AdjustOptions)
+    pre, _extra = p.parse_known_args(raw)
+    p.set_defaults(**pisces_defaults_from_vcf_header(pre.vcf))
+    args = p.parse_args(raw)
     options = ScyllaOptions()
     ph = options.phasable
     ph.phasing_distance = args.phasingdistance

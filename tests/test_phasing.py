@@ -358,3 +358,26 @@ def test_scylla_parallel_and_region_fetch_match_serial(tmp_path):
     if os.path.exists(src_bam + ".bai"):
         indexed = run("indexed", 8, True)
         assert serial == indexed
+
+
+def test_small_s1_somatic_execution_parity(tmp_path):
+    """Scylla.Tests ExecutionTests.TestSomaticExecution: full-file parity
+    against the shipped small_S1.out.somatic.genome.vcf (the VcfMerger
+    rule set: phased MNVs own their locus, unused non-reference originals
+    are re-added, absorbed variants become CalledRefs lines only where no
+    MNV anchors)."""
+    import conftest
+    from pisces_tpu.phasing.scylla import main as scylla_main
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    assert scylla_main(["-bam", conftest.shared_bam("small_S1.bam"),
+                        "-vcf", os.path.join(SD, "small_S1.genome.vcf"),
+                        "-out", out_dir, "-ploidy", "somatic",
+                        "-ncfilter", "1"]) in (0, None)
+    got = [l.rstrip("\n") for l in open(os.path.join(
+        out_dir, "small_S1.phased.genome.vcf")) if not l.startswith("##")]
+    exp = [l.rstrip("\n") for l in open(os.path.join(
+        SD, "small_S1.out.somatic.genome.vcf")) if not l.startswith("##")]
+    assert got == exp
