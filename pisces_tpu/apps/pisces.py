@@ -195,14 +195,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
 
     if options.vcf_writing_parameters.report_rc_counts and \
             batch.extra_tags is not None:
-        from pisces_tpu.pileup.collapsed import collapsed_total_counts
+        from pisces_tpu.pileup.collapsed import (
+            assign_collapsed_totals, collapsed_total_counts,
+        )
         totals = collapsed_total_counts(batch, keep,
                                         bf.minimum_base_call_quality, base_dirs)
-        for pos, alleles_at in by_position.items():
-            t = totals.get(pos)
-            if t is not None:
-                for a in alleles_at:
-                    a.read_collapsed_count_total = t
+        assign_collapsed_totals(by_position, totals)
 
     ref_lines = None
     if fast_gvcf:

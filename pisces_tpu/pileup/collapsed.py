@@ -93,6 +93,31 @@ def candidate_collapsed_counts(direction: int, duplex: bool,
     return out
 
 
+def total_lookup_position(allele) -> int:
+    """CollapsedCoverageCalculator start-point rule: totals for a spanning
+    allele come from the spanning START position that CoverageCalculator
+    passes down (CoverageCalculator.cs:30-41 — deletion spans
+    [pos+1, pos+len], MNV/insertion start at pos), and
+    CollapsedCoverageCalculator.CalculateSpanning always reads the
+    collapsed counts at that start (CollapsedCoverageCalculator.cs:27-36).
+    Point alleles use their own position (CalculateSinglePoint :18-25)."""
+    from pisces_tpu.domain.types import AlleleCategory
+    if allele.category == AlleleCategory.DELETION:
+        return allele.position + 1
+    return allele.position
+
+
+def assign_collapsed_totals(by_position, totals: Dict[int, np.ndarray]) -> None:
+    """Attach per-position ReadCollapsedCountTotal to called alleles, the
+    CollapsedCoverageCalculator pass (it runs inside Compute for collapsed+
+    stitched sources, Factory.cs:197)."""
+    for _pos, alleles_at in by_position.items():
+        for a in alleles_at:
+            t = totals.get(total_lookup_position(a))
+            if t is not None:
+                a.read_collapsed_count_total = t
+
+
 def collapsed_total_counts(batch: ReadBatch, keep: np.ndarray,
                            min_base_quality: int,
                            base_dirs: Optional[np.ndarray] = None

@@ -61,3 +61,37 @@ class TestUmIRoundTrip:
         batch = rb.fetch(0, parse_tags=True)
         assert batch.extra_tags[0].get("XR") == "FR"
         assert batch.xd_tags[0] == "5S"
+
+
+class TestCollapsedTotalAssignment:
+    """CollapsedCoverageCalculator.cs:18-36 — spanning alleles read the
+    per-position collapsed totals at the spanning START position
+    (deletion: pos+1 per CoverageCalculator.cs:32; MNV/ins/SNV/ref: pos)."""
+
+    def _allele(self, cat, pos=100):
+        from pisces_tpu.calling.alleles import CalledAllele
+        from pisces_tpu.domain.types import AlleleCategory
+        ref = {"DELETION": "ACT", "INSERTION": "A", "MNV": "AC",
+               "SNV": "A", "REFERENCE": "A"}[cat]
+        alt = {"DELETION": "A", "INSERTION": "ACT", "MNV": "GT",
+               "SNV": "G", "REFERENCE": "."}[cat]
+        return CalledAllele("chr1", pos, ref, alt,
+                            getattr(AlleleCategory, cat))
+
+    def test_lookup_positions(self):
+        assert collapsed.total_lookup_position(self._allele("DELETION")) == 101
+        assert collapsed.total_lookup_position(self._allele("MNV")) == 100
+        assert collapsed.total_lookup_position(self._allele("INSERTION")) == 100
+        assert collapsed.total_lookup_position(self._allele("SNV")) == 100
+        assert collapsed.total_lookup_position(self._allele("REFERENCE")) == 100
+
+    def test_assign_uses_deletion_start_point(self):
+        import numpy as np
+        t100 = np.arange(8, dtype=np.int64)
+        t101 = np.arange(8, dtype=np.int64) + 10
+        totals = {100: t100, 101: t101}
+        snv = self._allele("SNV")
+        dele = self._allele("DELETION")
+        collapsed.assign_collapsed_totals({100: [snv, dele]}, totals)
+        assert snv.read_collapsed_count_total is t100
+        assert dele.read_collapsed_count_total is t101
