@@ -336,6 +336,13 @@ class ScyllaOptions:
         # neighborhoods through JobManager with -MaxNumThreads)
         self.max_num_threads = 1
         self.no_call_filter_threshold = 0.6  # -ncfilter
+        # VcfWriting group (shared with Pisces, ScyllaOptionsParser.cs:154):
+        # NC and US columns on rewritten lines (ExecutionTests.cs
+        # TestWithNCandUSData passes -reportnocalls/-reportrccounts/
+        # -reporttscounts)
+        self.report_no_calls = False
+        self.report_rc_counts = False
+        self.report_ts_counts = False
 
 
 def collect_vead_groups(nbhd: Neighborhood, batch, keep: np.ndarray,
@@ -705,7 +712,29 @@ def _writer_config(options: ScyllaOptions):
     v.low_depth_filter = options.low_depth_filter
     v.maximum_variant_qscore = options.max_q
     v.no_call_filter_threshold = options.no_call_filter_threshold
+    o.vcf_writing_parameters.report_no_calls = options.report_no_calls
+    o.vcf_writing_parameters.report_rc_counts = options.report_rc_counts
+    o.vcf_writing_parameters.report_ts_counts = options.report_ts_counts
     return VcfWriterConfig(o)
+
+
+def _adjust_forced(rows):
+    """VcfMergerUtils.AdjustForcedAllele (VcfMergerUtils.cs:12-78): at a
+    position carrying a ForcedReport allele, non-forced lines write first
+    and forced lines follow — a forced line is dropped entirely when a
+    non-forced line with the same (ref, alt) exists and at least one
+    non-forced allele is a real variant. rows: [(CalledAllele, raw|None)]."""
+    forced = [(a, raw) for a, raw in rows
+              if FilterType.FORCED_REPORT in a.filters]
+    if not forced:
+        return rows
+    non_forced = [(a, raw) for a, raw in rows
+                  if FilterType.FORCED_REPORT not in a.filters]
+    if non_forced and not all(a.is_ref_type for a, _ in non_forced):
+        seen_alts = {(a.ref_allele, a.alt_allele) for a, _ in non_forced}
+        forced = [(a, raw) for a, raw in forced
+                  if (a.ref_allele, a.alt_allele) not in seen_alts]
+    return non_forced + forced
 
 
 def _merge_to_output(vcf_path: str, out_path: str,
@@ -751,8 +780,13 @@ def _merge_to_output(vcf_path: str, out_path: str,
                     nbhd = nb
                     break
             if nbhd is None:
-                for v in group:
-                    out.write(v.raw_line + "\n")
+                rows = [(to_called_alleles(v)[0], v.raw_line) for v in group
+                        if to_called_alleles(v)]
+                seen_raw = set()
+                for _a, raw in _adjust_forced(rows):
+                    if raw not in seen_raw:
+                        seen_raw.add(raw)
+                        out.write(raw + "\n")
                 continue
             used_positions = {a.position for a in nbhd.original_vcf_variants()}
             used_alleles = [(a.position, a.ref_allele, a.alt_allele)
@@ -794,8 +828,18 @@ def _merge_to_output(vcf_path: str, out_path: str,
                         out_alleles.append((new_ref, None))
                 else:
                     out_alleles.append((a, v.raw_line))
+            # AlleleTupleCompareByLociAndAllele (VcfMerger.cs:278) compares
+            # the stored alternate string: originals parsed from the VCF
+            # keep their raw "." on reference lines (AlleleReader.cs:133),
+            # so passthrough ref lines sort before letter alts; newly
+            # phased CalledRefs carry their actual bases.
+            def _sort_alt(t):
+                a, raw = t
+                return "." if (raw is not None and a.is_ref_type) \
+                    else a.alt_allele
             out_alleles.sort(key=lambda t: (t[0].position, t[0].ref_allele,
-                                            t[0].alt_allele))
+                                            _sort_alt(t)))
+            out_alleles = _adjust_forced(out_alleles)
             seen_lines = set()
             for a, raw in out_alleles:
                 if raw is not None:
@@ -910,6 +954,10 @@ def main(argv=None) -> int:
       default=10)
     a("-maxvq", "-maxvariantqscore", dest="maxvq", type=int, default=100)
     a("-crushvcf", default="false")
+    # shared VcfWriting group (VcfWritingParserUtils.cs:24-38)
+    a("-reportnocalls", default="false")
+    a("-reportrccounts", default="false")
+    a("-reporttscounts", default="false")
     a("-ploidy", default="somatic",
       help="somatic (default); diploid phased-genotype thresholding is "
            "not implemented and falls back to somatic rescoring")
@@ -950,6 +998,9 @@ def main(argv=None) -> int:
     options.crush_nbhd = _b(args.crushvcf)
     options.max_num_threads = args.maxnumthreads
     options.no_call_filter_threshold = args.ncfilter
+    options.report_no_calls = _b(args.reportnocalls)
+    options.report_rc_counts = _b(args.reportrccounts)
+    options.report_ts_counts = _b(args.reporttscounts)
     out = run_scylla(args.vcf, args.bam, args.genome, args.out, options)
     log(f"wrote {out}")
     return 0
