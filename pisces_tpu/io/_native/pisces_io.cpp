@@ -9,9 +9,11 @@
 // Build: make -C pisces_tpu/io/_native
 // Binding: ctypes (pisces_tpu/io/native.py).
 
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
@@ -93,10 +95,32 @@ const bool kConsumesRead[9] = {true, true, false, false, true,
 const bool kConsumesRef[9] = {true, false, true, true, false,
                               false, false, true, true};
 
+// Per-handle pileup accumulation result (RegionStateManager block tensors).
+// Owned by the BamFile handle so concurrent pileups over distinct handles
+// never share state (reference discipline: one job owns one block,
+// RegionStateManager.cs:336-439).
+struct PileupResult {
+  std::vector<int64_t> block_keys;
+  std::vector<int32_t> counts_t;   // [nb * block_size * 6 * 3]
+  std::vector<double> qual_t;      // same shape
+  std::vector<int32_t> anchored_counts;  // [K * 6 * 3 * (2A+1)]
+  std::vector<double> anchored_quals;
+  // SNV mismatch events (candidate discovery, call_mnvs=false rules)
+  std::vector<int64_t> mm_gpos;
+  std::vector<int8_t> mm_alt;
+  std::vector<int8_t> mm_dir;
+  std::vector<int8_t> mm_flags;  // bit0 openR, bit1 openL, bit2 well-anchored
+  // per-position scoring tuples (when ref_codes given): 8 int32 per row
+  // [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0] — everything the
+  // gVCF reference scorer needs, so Python never re-reduces the dense tensor
+  std::vector<int32_t> pos_tuples;
+};
+
 struct BamFile {
   std::vector<uint8_t> udata;  // inflated content
   // header
   std::string text;
+  std::unique_ptr<PileupResult> pileup;  // last bam_pileup* result, per handle
   std::vector<std::string> ref_names;
   std::vector<int32_t> ref_lens;
   size_t records_start = 0;
@@ -480,25 +504,6 @@ void bgzfc_free(void* h) { delete (BgzfCompressed*)h; }
 
 namespace {
 
-struct PileupResult {
-  std::vector<int64_t> block_keys;
-  std::vector<int32_t> counts_t;   // [nb * block_size * 6 * 3]
-  std::vector<double> qual_t;      // same shape
-  std::vector<int32_t> anchored_counts;  // [K * 6 * 3 * (2A+1)]
-  std::vector<double> anchored_quals;
-  // SNV mismatch events (candidate discovery, call_mnvs=false rules)
-  std::vector<int64_t> mm_gpos;
-  std::vector<int8_t> mm_alt;
-  std::vector<int8_t> mm_dir;
-  std::vector<int8_t> mm_flags;  // bit0 openR, bit1 openL, bit2 well-anchored
-  // per-position scoring tuples (when ref_codes given): 8 int32 per row
-  // [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0] — everything the
-  // gVCF reference scorer needs, so Python never re-reduces the dense tensor
-  std::vector<int32_t> pos_tuples;
-};
-
-PileupResult* g_pileup = nullptr;
-
 inline int anchor_index(int64_t gpos, int64_t start1, int64_t end1, int A) {
   int64_t left = gpos - start1;
   int64_t right = end1 - gpos;
@@ -510,8 +515,12 @@ inline int anchor_index(int64_t gpos, int64_t start1, int64_t end1, int A) {
   return (int)left;
 }
 
-double kQualToErr[128];
-bool kQualInit = false;
+// static init (no lazy racing writes): err[q] = 10^(-q/10)
+const std::array<double, 128> kQualToErr = [] {
+  std::array<double, 128> t{};
+  for (int q = 0; q < 128; q++) t[q] = pow(10.0, -q / 10.0);
+  return t;
+}();
 
 }  // namespace
 
@@ -542,13 +551,8 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
                       const int8_t* ref_codes, int64_t ref_len,
                       int track_open_ended) {
   auto* bf = (BamFile*)h;
-  if (!kQualInit) {
-    for (int q = 0; q < 128; q++) kQualToErr[q] = pow(10.0, -q / 10.0);
-    kQualInit = true;
-  }
-  delete g_pileup;
-  g_pileup = new PileupResult();
-  auto& res = *g_pileup;
+  bf->pileup = std::make_unique<PileupResult>();
+  auto& res = *bf->pileup;
 
   size_t n = bf->ref_id.size();
   const int A = anchor_size;
@@ -749,23 +753,25 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
   return nb;
 }
 
-const int64_t* pileup_block_keys(void*) { return g_pileup->block_keys.data(); }
-int64_t pileup_n_mismatches(void*) { return (int64_t)g_pileup->mm_gpos.size(); }
-const int64_t* pileup_mm_gpos(void*) { return g_pileup->mm_gpos.data(); }
-const int8_t* pileup_mm_alt(void*) { return g_pileup->mm_alt.data(); }
-const int8_t* pileup_mm_dir(void*) { return g_pileup->mm_dir.data(); }
-const int8_t* pileup_mm_flags(void*) { return g_pileup->mm_flags.data(); }
-const int32_t* pileup_counts_t(void*) { return g_pileup->counts_t.data(); }
-const double* pileup_qual_t(void*) { return g_pileup->qual_t.data(); }
-const int32_t* pileup_anchored_counts(void*) {
-  return g_pileup->anchored_counts.data();
+static inline PileupResult* pu(void* h) { return ((BamFile*)h)->pileup.get(); }
+
+const int64_t* pileup_block_keys(void* h) { return pu(h)->block_keys.data(); }
+int64_t pileup_n_mismatches(void* h) { return (int64_t)pu(h)->mm_gpos.size(); }
+const int64_t* pileup_mm_gpos(void* h) { return pu(h)->mm_gpos.data(); }
+const int8_t* pileup_mm_alt(void* h) { return pu(h)->mm_alt.data(); }
+const int8_t* pileup_mm_dir(void* h) { return pu(h)->mm_dir.data(); }
+const int8_t* pileup_mm_flags(void* h) { return pu(h)->mm_flags.data(); }
+const int32_t* pileup_counts_t(void* h) { return pu(h)->counts_t.data(); }
+const double* pileup_qual_t(void* h) { return pu(h)->qual_t.data(); }
+const int32_t* pileup_anchored_counts(void* h) {
+  return pu(h)->anchored_counts.data();
 }
-const double* pileup_anchored_quals(void*) {
-  return g_pileup->anchored_quals.data();
+const double* pileup_anchored_quals(void* h) {
+  return pu(h)->anchored_quals.data();
 }
-int64_t pileup_has_pos_tuples(void*) {
-  return (int64_t)g_pileup->pos_tuples.size();
+int64_t pileup_has_pos_tuples(void* h) {
+  return (int64_t)pu(h)->pos_tuples.size();
 }
-const int32_t* pileup_pos_tuples(void*) { return g_pileup->pos_tuples.data(); }
+const int32_t* pileup_pos_tuples(void* h) { return pu(h)->pos_tuples.data(); }
 
 }  // extern "C"
