@@ -71,15 +71,9 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
 
     ref_id = bam.header.ref_index(chrom.name)
     with metrics.stage("bam_fetch"):
-        try:
-            batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
-        except TypeError:  # native reader: no tag support yet; refetch via python
-            if need_tags:
-                from pisces_tpu.io.bam import BamReader as PyBamReader
-                batch = PyBamReader(bam.path).fetch(ref_id=ref_id,
-                                                    parse_tags=True)
-            else:
-                batch = bam.fetch(ref_id=ref_id)
+        # both readers decode tags natively (C++ TagUtils analog in
+        # pisces_io.cpp bam_decode_tags; Python _parse_string_tags)
+        batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
     metrics.count("reads", batch.n)
     keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
                         bf.only_use_proper_pairs)

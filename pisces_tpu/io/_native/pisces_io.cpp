@@ -139,6 +139,15 @@ struct BamFile {
   std::vector<int32_t> mate_ref_id, mate_pos;
   std::string name_blob;            // concatenated read names
   std::vector<int64_t> name_off;    // [n+1] offsets into name_blob
+  // typed tag columns (TagUtils analog, BamCommon.cs; filled when
+  // bam_decode_tags parse_tags=1): each Z-string tag gets its own blob +
+  // [n+1] prefix offsets (slots: 0 XD, 1 XN, 2 XR, 3 XU, 4 XW-string),
+  // int tags as value columns, and a per-read presence bitmask
+  // (1 XD, 2 XN, 4 XR, 8 XU, 16 XV, 32 XW-int, 64 XW-string)
+  std::string tag_blobs[5];
+  std::vector<int64_t> tag_offs[5];
+  std::vector<int32_t> xv_val, xw_val;
+  std::vector<uint8_t> tag_present;
 };
 
 int32_t rd_i32(const uint8_t* p) {
@@ -251,8 +260,9 @@ int64_t bam_header_text_len(void* h) {
 }
 
 // Decode records mapped to ref_id (-1 = all) into the handle's columnar
-// arrays. Returns number of records decoded.
-int64_t bam_decode(void* h, int want_ref_id) {
+// arrays, optionally with typed tag extraction (XD/XN/XR/XU strings,
+// XV/XW ints — TagUtils analog). Returns number of records decoded.
+int64_t bam_decode_tags(void* h, int want_ref_id, int parse_tags) {
   auto* bf = (BamFile*)h;
   const uint8_t* d = bf->udata.data();
 
@@ -271,6 +281,13 @@ int64_t bam_decode(void* h, int want_ref_id) {
   bf->mate_pos.clear();
   bf->name_blob.clear();
   bf->name_off.assign(1, 0);
+  for (int s = 0; s < 5; s++) {
+    bf->tag_blobs[s].clear();
+    bf->tag_offs[s].assign(1, 0);
+  }
+  bf->xv_val.clear();
+  bf->xw_val.clear();
+  bf->tag_present.clear();
 
   for (size_t off : bf->rec_offsets) {
     const uint8_t* r = d + off + 4;
@@ -316,8 +333,87 @@ int64_t bam_decode(void* h, int want_ref_id) {
     p += (l_seq + 1) / 2;
     bf->qual.insert(bf->qual.end(), p, p + l_seq);
     bf->seq_off.push_back((int64_t)bf->seq.size());
+    p += l_seq;
+
+    if (parse_tags) {
+      // walk the tag block [p, rec_end): Z-typed XD/XN/XR/XU(/XW) strings,
+      // integer-typed XV/XW values (BamReader._parse_string_tags semantics)
+      int32_t block_size = rd_i32(d + off);
+      const uint8_t* rec_end = d + off + 4 + block_size;
+      uint8_t present = 0;
+      int32_t xv = 0, xw = 0;
+      const char* s_vals[5] = {nullptr, nullptr, nullptr, nullptr, nullptr};
+      size_t s_lens[5] = {0, 0, 0, 0, 0};
+      while (p + 3 <= rec_end) {
+        char t0 = (char)p[0], t1 = (char)p[1];
+        uint8_t typ = p[2];
+        p += 3;
+        int sz = 0;
+        bool is_int = false;
+        switch (typ) {
+          case 'A': sz = 1; break;
+          case 'c': case 'C': sz = 1; is_int = true; break;
+          case 's': case 'S': sz = 2; is_int = true; break;
+          case 'i': case 'I': sz = 4; is_int = true; break;
+          case 'f': sz = 4; break;
+          default: sz = -1;
+        }
+        if (sz > 0) {
+          if (is_int && t0 == 'X' && (t1 == 'V' || t1 == 'W')) {
+            int64_t v = 0;
+            switch (typ) {
+              case 'c': v = *(const int8_t*)p; break;
+              case 'C': v = *p; break;
+              case 's': { int16_t x; memcpy(&x, p, 2); v = x; } break;
+              case 'S': { uint16_t x; memcpy(&x, p, 2); v = x; } break;
+              case 'i': v = rd_i32(p); break;
+              case 'I': v = (int64_t)rd_u32(p); break;
+            }
+            if (t1 == 'V') { xv = (int32_t)v; present |= 16; }
+            else { xw = (int32_t)v; present |= 32; }
+          }
+          p += sz;
+        } else if (typ == 'Z' || typ == 'H') {
+          const uint8_t* e = p;
+          while (e < rec_end && *e != 0) e++;
+          if (t0 == 'X') {
+            int slot = -1;
+            if (t1 == 'D') { slot = 0; present |= 1; }
+            else if (t1 == 'N') { slot = 1; present |= 2; }
+            else if (t1 == 'R') { slot = 2; present |= 4; }
+            else if (t1 == 'U') { slot = 3; present |= 8; }
+            else if (t1 == 'W') { slot = 4; present |= 64; }
+            if (slot >= 0) {
+              s_vals[slot] = (const char*)p;
+              s_lens[slot] = (size_t)(e - p);
+            }
+          }
+          p = e + 1;
+        } else if (typ == 'B') {
+          uint8_t sub = *p;
+          int32_t count = rd_i32(p + 1);
+          int ssz = (sub == 'c' || sub == 'C') ? 1
+                    : (sub == 's' || sub == 'S') ? 2
+                    : (sub == 'i' || sub == 'I' || sub == 'f') ? 4 : 1;
+          p += 5 + (int64_t)ssz * count;
+        } else {
+          break;
+        }
+      }
+      for (int s = 0; s < 5; s++) {
+        if (s_vals[s]) bf->tag_blobs[s].append(s_vals[s], s_lens[s]);
+        bf->tag_offs[s].push_back((int64_t)bf->tag_blobs[s].size());
+      }
+      bf->xv_val.push_back(xv);
+      bf->xw_val.push_back(xw);
+      bf->tag_present.push_back(present);
+    }
   }
   return (int64_t)bf->ref_id.size();
+}
+
+int64_t bam_decode(void* h, int want_ref_id) {
+  return bam_decode_tags(h, want_ref_id, 0);
 }
 
 // accessors for the decoded batch (valid until the next bam_decode)
@@ -353,6 +449,19 @@ const char* bam_col_name_blob(void* h) {
 }
 const int64_t* bam_col_name_off(void* h) {
   return ((BamFile*)h)->name_off.data();
+}
+// tag columns (valid after bam_decode_tags with parse_tags=1);
+// slot: 0 XD, 1 XN, 2 XR, 3 XU, 4 XW-string
+const char* bam_col_tag_blob(void* h, int slot) {
+  return ((BamFile*)h)->tag_blobs[slot].data();
+}
+const int64_t* bam_col_tag_off(void* h, int slot) {
+  return ((BamFile*)h)->tag_offs[slot].data();
+}
+const int32_t* bam_col_xv_val(void* h) { return ((BamFile*)h)->xv_val.data(); }
+const int32_t* bam_col_xw_val(void* h) { return ((BamFile*)h)->xw_val.data(); }
+const uint8_t* bam_col_tag_present(void* h) {
+  return ((BamFile*)h)->tag_present.data();
 }
 
 // Standalone BGZF helpers (gzip-compatible writer support)

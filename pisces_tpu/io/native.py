@@ -77,6 +77,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def _bind_tags(lib) -> None:
+    """Bind the typed-tag decode exports (TagUtils analog columns)."""
+    if getattr(lib, "_tags_bound", False):
+        return
+    lib.bam_decode_tags.restype = ctypes.c_int64
+    lib.bam_decode_tags.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int]
+    lib.bam_col_tag_blob.restype = ctypes.c_void_p
+    lib.bam_col_tag_blob.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bam_col_tag_off.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.bam_col_tag_off.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    for name, ct in [("bam_col_xv_val", ctypes.c_int32),
+                     ("bam_col_xw_val", ctypes.c_int32),
+                     ("bam_col_tag_present", ctypes.c_uint8)]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
+    lib._tags_bound = True
+
+
 def _as_array(ptr, n, dtype):
     """Copy a C buffer into a fresh ndarray with one memcpy.
 
@@ -135,10 +155,13 @@ class NativeBamReader:
         return int(self._lib.bam_n_records(self._h))
 
     def _fetch_impl(self, ref_id: Optional[int] = None,
-                    parse_names: bool = False):
+                    parse_names: bool = False, parse_tags: bool = False):
         from pisces_tpu.io.bam import ReadBatch
         lib = self._lib
-        n = int(lib.bam_decode(self._h, -1 if ref_id is None else ref_id))
+        _bind_tags(lib)
+        n = int(lib.bam_decode_tags(self._h,
+                                    -1 if ref_id is None else ref_id,
+                                    1 if parse_tags else 0))
         total_cigar = int(lib.bam_total_cigar(self._h))
         total_bases = int(lib.bam_total_bases(self._h))
         names = None
@@ -151,6 +174,9 @@ class NativeBamReader:
                 "ascii", errors="replace") for i in range(n)]
         elif parse_names:
             names = []
+        xd_tags = xn_tags = extra_tags = None
+        if parse_tags:
+            xd_tags, xn_tags, extra_tags = self._build_tag_lists(n)
         return ReadBatch(
             n=n,
             ref_id=_as_array(lib.bam_col_ref_id(self._h), n, np.int32),
@@ -166,14 +192,68 @@ class NativeBamReader:
             seq=_as_array(lib.bam_col_seq(self._h), total_bases, np.int8),
             qual=_as_array(lib.bam_col_qual(self._h), total_bases, np.uint8),
             end_pos=_as_array(lib.bam_col_end_pos(self._h), n, np.int32),
+            xd_tags=xd_tags,
+            xn_tags=xn_tags,
+            extra_tags=extra_tags,
             names=names,
             mate_ref_id=_as_array(lib.bam_col_mate_ref_id(self._h), n,
                                   np.int32),
             mate_pos=_as_array(lib.bam_col_mate_pos(self._h), n, np.int32),
         )
 
-    def fetch(self, ref_id: Optional[int] = None, parse_names: bool = False):
-        batch = self._fetch_impl(ref_id, parse_names)
+    def _build_tag_lists(self, n: int):
+        """Materialize xd/xn/extra tag lists from the native tag columns
+        (same contract as the Python reader's _parse_string_tags)."""
+        lib = self._lib
+        if n == 0:
+            return [], [], []
+        present = _as_array(lib.bam_col_tag_present(self._h), n, np.uint8)
+        names = ("xd", "xn", "xr", "xu", "xw_s")
+        offs = {}
+        blobs = {}
+        for slot, name in enumerate(names):
+            o = _as_array(lib.bam_col_tag_off(self._h, slot), n + 1, np.int64)
+            offs[name] = o
+            blobs[name] = (ctypes.string_at(
+                lib.bam_col_tag_blob(self._h, slot), int(o[-1]))
+                if o[-1] else b"")
+        xv = _as_array(lib.bam_col_xv_val(self._h), n, np.int32)
+        xw = _as_array(lib.bam_col_xw_val(self._h), n, np.int32)
+
+        def s(name, i):
+            o = offs[name]
+            return blobs[name][o[i]:o[i + 1]].decode("ascii",
+                                                     errors="replace")
+
+        xd_tags, xn_tags, extra = [], [], []
+        pres = present.tolist()
+        for i in range(n):
+            p = pres[i]
+            tags = {}
+            xd = s("xd", i) if p & 1 else None
+            xn = s("xn", i) if p & 2 else None
+            if xd is not None:
+                tags["XD"] = xd
+            if xn is not None:
+                tags["XN"] = xn
+            if p & 4:
+                tags["XR"] = s("xr", i)
+            if p & 8:
+                tags["XU"] = s("xu", i)
+            if p & 16:
+                tags["XV"] = int(xv[i])
+            if p & 32:
+                tags["XW"] = int(xw[i])
+            if p & 64:  # Z-typed XW overrides an int XW (parser order)
+                tags["XW"] = s("xw_s", i)
+            xd_tags.append(xd)
+            xn_tags.append(xn)
+            extra.append(tags)
+        return xd_tags, xn_tags, extra
+
+    def fetch(self, ref_id: Optional[int] = None, parse_names: bool = False,
+              parse_tags: bool = False):
+        batch = self._fetch_impl(ref_id, parse_names, parse_tags)
         batch._from_native_handle = True
         return batch
 

@@ -127,30 +127,19 @@ def _sb_stats(support, coverage, noise_freq, log1m_noise):
     return cfp, cvfgz
 
 
-def _scoring_kernel(params: ScoringParams, in_ref, out_i_ref, out_f_ref):
+def _score_rows(params: ScoringParams, sup_dir, cov_dir, num_nc,
+                out_i_ref, out_f_ref):
+    """Shared reference-locus scoring math over [1, TILE] f32 row vectors.
+
+    sup_dir/cov_dir: 3-element lists (F, R, Stitched); num_nc: N counts.
+    Writes the 8+8 output rows (contract of score_reference_loci_pallas).
+    """
     f32 = jnp.float32
     noise_freq = f32(10.0 ** (-params.noise_level / 10.0))
     log1m_noise = f32(jnp.log1p(-(10.0 ** (-params.noise_level / 10.0))))
 
-    def row(r):
-        return in_ref[r:r + 1, :].astype(f32)
-
-    ref_code = in_ref[18:19, :]
-    cov_dir = []
-    sup_dir = []
-    for d in range(3):
-        cov = row(_COV[0] * 3 + d)
-        sup = jnp.where(ref_code == _COV[0], cov, 0.0)
-        for a in _COV[1:]:
-            c = row(a * 3 + d)
-            cov = cov + c
-            sup = sup + jnp.where(ref_code == a, c, 0.0)
-        cov_dir.append(cov)
-        sup_dir.append(sup)
     total = cov_dir[0] + cov_dir[1] + cov_dir[2]
     support = sup_dir[0] + sup_dir[1] + sup_dir[2]
-    num_nc = (row(int(AlleleType.N) * 3) + row(int(AlleleType.N) * 3 + 1)
-              + row(int(AlleleType.N) * 3 + 2))
 
     # ---- Poisson q-score: p = P(X >= support), lam = err * cov ----
     lam = noise_freq * total
@@ -228,6 +217,102 @@ def _scoring_kernel(params: ScoringParams, in_ref, out_i_ref, out_f_ref):
     out_f_ref[7:8, :] = sup_dir[2]
 
 
+def _scoring_kernel(params: ScoringParams, in_ref, out_i_ref, out_f_ref):
+    """Counts-input kernel: derive (sup, cov, nc) rows from the 18 count
+    channels + ref-code row, then run the shared scoring math."""
+    f32 = jnp.float32
+
+    def row(r):
+        return in_ref[r:r + 1, :].astype(f32)
+
+    ref_code = in_ref[18:19, :]
+    cov_dir = []
+    sup_dir = []
+    for d in range(3):
+        cov = row(_COV[0] * 3 + d)
+        sup = jnp.where(ref_code == _COV[0], cov, 0.0)
+        for a in _COV[1:]:
+            c = row(a * 3 + d)
+            cov = cov + c
+            sup = sup + jnp.where(ref_code == a, c, 0.0)
+        cov_dir.append(cov)
+        sup_dir.append(sup)
+    num_nc = (row(int(AlleleType.N) * 3) + row(int(AlleleType.N) * 3 + 1)
+              + row(int(AlleleType.N) * 3 + 2))
+    _score_rows(params, sup_dir, cov_dir, num_nc, out_i_ref, out_f_ref)
+
+
+def _tuples_kernel(params: ScoringParams, in_ref, out_i_ref, out_f_ref):
+    """Tuple-input kernel: rows 0-2 sup (F,R,S), 3-5 cov (F,R,S), 6 N count.
+    This is the layout production reference scoring feeds
+    (score_reference_tuples contract: everything is a pure function of the
+    6-tuple), so the mesh-sharded local step and the unique-tuple fast path
+    share one kernel."""
+    f32 = jnp.float32
+
+    def row(r):
+        return in_ref[r:r + 1, :].astype(f32)
+
+    sup_dir = [row(0), row(1), row(2)]
+    cov_dir = [row(3), row(4), row(5)]
+    _score_rows(params, sup_dir, cov_dir, row(6), out_i_ref, out_f_ref)
+
+
+def _out_dict(out_i, out_f, L):
+    return {
+        "total_coverage": out_i[0, :L],
+        "support": out_i[1, :L],
+        "variant_qscore": out_i[2, :L],
+        "genotype": out_i[3, :L],
+        "gq": out_i[4, :L],
+        "filter_bits": out_i[5, :L],
+        "num_no_calls": out_i[6, :L],
+        "frequency": out_f[0, :L],
+        "sb_gatk": out_f[1, :L],
+        "coverage_by_dir": out_f[2:5, :L].T.astype(jnp.int32),
+        "support_by_dir": out_f[5:8, :L].T.astype(jnp.int32),
+    }
+
+
+def _run_pallas(kernel, packed, n_in_rows, Lp, interpret):
+    grid = (Lp // TILE,)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((n_in_rows, TILE), lambda i: (0, i),
+                               memory_space=mem)],
+        out_specs=[
+            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=mem),
+            pl.BlockSpec((8, TILE), lambda i: (0, i), memory_space=mem),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, Lp), jnp.int32),
+                   jax.ShapeDtypeStruct((8, Lp), jnp.float32)],
+        interpret=interpret,
+    )(packed)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def score_reference_tuples_pallas(support_by_dir, cov_by_dir,
+                                  params: ScoringParams,
+                                  num_no_calls=None,
+                                  interpret: bool = False):
+    """Pallas-fused reference scoring from per-locus direction tuples.
+
+    Same contract as jax_scoring.score_reference_tuples (plus num_no_calls
+    when given). Inputs [L, 3] int; loci ride the 128-lane axis."""
+    L = support_by_dir.shape[0]
+    Lp = ((L + TILE - 1) // TILE) * TILE
+    packed = jnp.zeros((8, Lp), jnp.int32)
+    packed = packed.at[0:3, :L].set(support_by_dir.T.astype(jnp.int32))
+    packed = packed.at[3:6, :L].set(cov_by_dir.T.astype(jnp.int32))
+    if num_no_calls is not None:
+        packed = packed.at[6, :L].set(num_no_calls.astype(jnp.int32))
+    out_i, out_f = _run_pallas(functools.partial(_tuples_kernel, params),
+                               packed, 8, Lp, interpret)
+    return _out_dict(out_i, out_f, L)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def score_reference_loci_pallas(counts, ref_code, params: ScoringParams,
                                 interpret: bool = False):
@@ -246,34 +331,6 @@ def score_reference_loci_pallas(counts, ref_code, params: ScoringParams,
     packed = packed.at[:18, :L].set(ch)
     packed = packed.at[18, :L].set(ref_code.astype(jnp.int32))
 
-    grid = (Lp // TILE,)
-    out_i, out_f = pl.pallas_call(
-        functools.partial(_scoring_kernel, params),
-        grid=grid,
-        in_specs=[pl.BlockSpec((24, TILE), lambda i: (0, i),
-                               memory_space=pltpu.ANY
-                               if interpret else pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i: (0, i),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((8, Lp), jnp.int32),
-                   jax.ShapeDtypeStruct((8, Lp), jnp.float32)],
-        interpret=interpret,
-    )(packed)
-
-    return {
-        "total_coverage": out_i[0, :L],
-        "support": out_i[1, :L],
-        "variant_qscore": out_i[2, :L],
-        "genotype": out_i[3, :L],
-        "gq": out_i[4, :L],
-        "filter_bits": out_i[5, :L],
-        "num_no_calls": out_i[6, :L],
-        "frequency": out_f[0, :L],
-        "sb_gatk": out_f[1, :L],
-        "coverage_by_dir": out_f[2:5, :L].T.astype(jnp.int32),
-        "support_by_dir": out_f[5:8, :L].T.astype(jnp.int32),
-    }
+    out_i, out_f = _run_pallas(functools.partial(_scoring_kernel, params),
+                               packed, 24, Lp, interpret)
+    return _out_dict(out_i, out_f, L)

@@ -180,3 +180,19 @@ def test_native_pos_tuples_match_counts(tmp_path):
     assert np.array_equal(pc.pos_tuples[:, :3], sup)
     assert np.array_equal(pc.pos_tuples[:, 3:6], cov)
     assert np.array_equal(pc.pos_tuples[:, 6], n_tot)
+
+
+@pytest.mark.parametrize("name", BAMS + ["../../Pisces.Tests/TestData/collapsed.test.stitched.bam"])
+def test_native_tag_decode_matches_python(name):
+    """Typed tag decode (XD/XN/XR/XU strings, XV/XW ints — TagUtils analog)
+    must produce exactly the Python reader's xd/xn/extra tag lists."""
+    path = conftest.shared_bam(name) if not name.startswith("..") else \
+        os.path.normpath(os.path.join(conftest.SHARED_BAMS, name))
+    nb = native.NativeBamReader(path)
+    pb = BamReader(path)
+    b1 = nb.fetch(None, parse_tags=True)
+    b2 = pb.fetch(None, parse_tags=True)
+    assert b1.n == b2.n
+    assert b1.xd_tags == b2.xd_tags
+    assert b1.xn_tags == b2.xn_tags
+    assert b1.extra_tags == b2.extra_tags

@@ -53,6 +53,38 @@ def test_unpadded_tail_and_small_batches():
         _compare(counts4, ref_code)
 
 
+def test_tuples_kernel_matches_counts_kernel():
+    """The tuple-input kernel (production reference-scoring layout) must
+    agree with the XLA tuple kernel on every output on random tuples."""
+    from pisces_tpu.ops.jax_scoring import score_reference_tuples
+    from pisces_tpu.ops.pallas_scoring import score_reference_tuples_pallas
+
+    rng = np.random.default_rng(3)
+    L = 2000
+    cov = rng.integers(0, 500, size=(L, 3)).astype(np.int32)
+    sup = (cov * rng.random((L, 3))).astype(np.int32)
+    nc = rng.integers(0, 8, size=L).astype(np.int32)
+    params = ScoringParams()
+    ref = score_reference_tuples(sup, cov, params)
+    pal = score_reference_tuples_pallas(sup, cov, params, num_no_calls=nc,
+                                        interpret=True)
+    for k in ("total_coverage", "support", "variant_qscore", "gq",
+              "genotype", "filter_bits"):
+        np.testing.assert_array_equal(np.asarray(pal[k]), np.asarray(ref[k]),
+                                      err_msg=k)
+    np.testing.assert_array_equal(np.asarray(pal["num_no_calls"]), nc)
+    sb_r = np.asarray(ref["sb_gatk"])
+    sb_p = np.asarray(pal["sb_gatk"])
+    fin = np.isfinite(sb_r) & (sb_r > -1e30)
+    # near-zero SB (the gVCF reference-line regime, where this float is
+    # emitted) must be tight; the deep-bias tail (< -40 dB, a range only
+    # host-f64 variant scoring emits) tolerates series truncation drift
+    shallow = fin & (sb_r > -40.0)
+    assert np.allclose(sb_p[shallow], sb_r[shallow], atol=1e-3)
+    deep = fin & ~shallow
+    assert np.allclose(sb_p[deep], sb_r[deep], rtol=0.05)
+
+
 def test_low_support_noise_band():
     """Loci with support near the noise floor (k ~ lam): the branch-select
     region of the series; integer outputs still agree exactly."""
