@@ -129,9 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("-reporttscounts", default="false")
     a("-reportsuspiciouscoveragefraction", default="false")
     # ---- TPU-build extensions ----
-    a("-backend", default="numpy", choices=["jax", "numpy"],
-      help="per-locus scoring backend; jax runs the fused kernel on the "
-           "accelerator (best with locally-attached TPUs)")
+    a("-backend", default="jax", choices=["jax", "numpy"],
+      help="per-locus scoring backend (default jax: the fused kernel runs "
+           "on the accelerator; integer outputs are exact vs the f64 host "
+           "path, and floats emitted in the VCF stay on the host f64 path "
+           "for byte parity). numpy forces everything onto the host.")
     a("-resume", default="false",
       help="with -MultiProcess: skip completed chromosome shards")
     a("-windowsize", type=int, default=0,

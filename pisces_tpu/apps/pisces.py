@@ -563,7 +563,8 @@ def main(argv=None) -> int:
         elif args.max_threads > 1 or len(bam_paths) > 1:
             from pisces_tpu.parallel.scheduler import process_bams_parallel
             outs = process_bams_parallel(options, bam_paths, genome,
-                                         args.max_threads, use_device)
+                                         args.max_threads, use_device,
+                                         thread_by_chr=options.thread_by_chr)
             for out in outs:
                 log(f"wrote {out}")
         else:

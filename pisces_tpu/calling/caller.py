@@ -75,8 +75,10 @@ class CallerConfig:
     # device routing for the batched candidate-scoring pass: batches at or
     # above the threshold run on the fused XLA kernel (ops/jax_scoring
     # .score_snv_loci); smaller batches stay on the vectorized f64 host path
-    # (dispatch latency beats kernel time for small N).
-    use_device_candidates: bool = False
+    # (dispatch latency beats kernel time for small N). Callers override
+    # from the -backend flag (jax by default); integer q outputs are exact
+    # either way.
+    use_device_candidates: bool = True
     device_batch_threshold: int = 4096
     # per-allele strand-bias component tables (forward/reverse/overall
     # ChanceFalsePos etc.) are only materialized when the bias side files

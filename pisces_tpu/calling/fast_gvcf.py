@@ -31,6 +31,10 @@ _GT_STR = {
     int(Genotype.REF_AND_NOCALL): "0/.",
 }
 
+# minimum unique-tuple batch for device dispatch (see caller.py
+# device_batch_threshold: small batches are launch-latency-bound)
+DEVICE_TUPLE_THRESHOLD = 4096
+
 
 def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
                               params, use_device: bool = True,
@@ -121,7 +125,11 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
         pad_flag = (rows < 0).astype(np.int64)
     uniq, inv = _unique_tuples(all_support_by_dir, all_cov_by_dir, pad_flag)
 
-    if use_device:
+    # device dispatch pays off only above a batch-size threshold (same
+    # rationale as CallerConfig.device_batch_threshold): below it, kernel
+    # launch + host sync dominate — worst over remote-attached devices —
+    # and the f64 host path is the byte-parity oracle anyway
+    if use_device and len(uniq) >= DEVICE_TUPLE_THRESHOLD:
         import jax
         from pisces_tpu.ops.jax_scoring import score_reference_tuples
         u = len(uniq)

@@ -169,24 +169,91 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
         with pool_lock:
             pools[bam_path].append(reader)
 
+    def _emit(writer: "VcfWriter", chrom_name: str, payload) -> None:
+        """Write one chromosome's results through a (possibly headerless)
+        writer: spliced fast-gVCF streams or object-path alleles + mapper."""
+        if not payload:
+            return
+        alleles, intervals = payload
+        if isinstance(alleles, tuple):
+            from pisces_tpu.apps.pisces import write_spliced
+            write_spliced(writer, alleles[0], alleles[1])
+            return
+        chrom = genome.get_chr_reference(chrom_name)
+        mapper = make_region_mapper(options, chrom, intervals)
+        writer.write(alleles, mapper)
+        writer.write_remaining(mapper)
+
+    def _compute(bam_path: str, chrom_name: str, bam):
+        """The per-(bam, chr) calling work; returns the emit payload."""
+        if chrom_name not in bam.header.ref_names:
+            return []
+        chrom = cache.get(chrom_name)
+        try:
+            intervals = _load_intervals(options, chrom_name)
+            alleles = call_chromosome(options, chrom, bam, intervals,
+                                      use_device, forced)
+            return (alleles, intervals)
+        finally:
+            cache.release(chrom_name)
+
+    if thread_by_chr:
+        # GenomeProcessor.cs:81-186 "one writer per bam and per chr": each
+        # job writes a headerless per-chromosome shard the moment it
+        # finishes (no ordering wait, no in-memory holding of out-of-order
+        # results); after the pool drains, shards are byte-concatenated
+        # onto the header file in genome order (CombinePerChromosomeFiles).
+        shard_paths: Dict[Tuple[str, str], str] = {}
+        shard_lock = threading.Lock()
+
+        def job(bam_path: str, chrom_name: str) -> None:
+            bam = _borrow(bam_path)
+            try:
+                payload = _compute(bam_path, chrom_name, bam)
+                if not payload:
+                    return
+                writer, _ = writers[bam_path]
+                base = outputs[bam_paths.index(bam_path)]
+                shard = f"{base}_{chrom_name}"
+                shard_writer = VcfWriter(
+                    shard, writer.config, genome.directory,
+                    os.path.basename(bam_path), genome.chromosome_lengths,
+                    options.command_line)
+                try:
+                    _emit(shard_writer, chrom_name, payload)
+                finally:
+                    shard_writer.close()
+                with shard_lock:
+                    shard_paths[(bam_path, chrom_name)] = shard
+            finally:
+                _give_back(bam_path, bam)
+
+        jobs = [(__import__("functools").partial(job, b, c))
+                for c in chrom_names for b in bam_paths]
+        JobManager(max_threads).process(jobs)
+        for bam_path, out_vcf in zip(bam_paths, outputs):
+            writer, _ = writers[bam_path]
+            writer.close()  # header-only so far
+            with open(out_vcf, "ab") as out_f:
+                for chrom_name in chrom_names:
+                    shard = shard_paths.get((bam_path, chrom_name))
+                    if shard is None:
+                        continue
+                    with open(shard, "rb") as s:
+                        out_f.write(s.read())
+                    os.remove(shard)
+        return outputs
+
     def job(bam_path: str, chrom_name: str) -> None:
         _, ordered = writers[bam_path]
         bam = _borrow(bam_path)
         try:
-            if chrom_name not in bam.header.ref_names:
-                ordered.submit(chrom_name, [])
-                return
-            chrom = cache.get(chrom_name)
             try:
-                intervals = _load_intervals(options, chrom_name)
-                alleles = call_chromosome(options, chrom, bam, intervals,
-                                          use_device, forced)
-                ordered.submit(chrom_name, (alleles, intervals))
+                payload = _compute(bam_path, chrom_name, bam)
             except Exception:
                 ordered.submit(chrom_name, [])
                 raise
-            finally:
-                cache.release(chrom_name)
+            ordered.submit(chrom_name, payload)
         finally:
             _give_back(bam_path, bam)
 
@@ -199,17 +266,7 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
 
         def drain(bam_path=bam_path, writer=writer, ordered=ordered):
             def write_fn(chrom_name, payload):
-                if not payload:
-                    return
-                alleles, intervals = payload
-                if isinstance(alleles, tuple):
-                    from pisces_tpu.apps.pisces import write_spliced
-                    write_spliced(writer, alleles[0], alleles[1])
-                    return
-                chrom = genome.get_chr_reference(chrom_name)
-                mapper = make_region_mapper(options, chrom, intervals)
-                writer.write(alleles, mapper)
-                writer.write_remaining(mapper)
+                _emit(writer, chrom_name, payload)
             ordered.drain(write_fn)
             writer.close()
         t = threading.Thread(target=drain, daemon=True)

@@ -94,7 +94,11 @@ class TestFastPathParity:
                         window=100_000)
         assert whole == windowed
 
-    def test_device_path_with_intervals(self, tmp_path):
+    def test_device_path_with_intervals(self, tmp_path, monkeypatch):
+        # force the device branch regardless of batch size (production
+        # gates on DEVICE_TUPLE_THRESHOLD; this corpus is far below it)
+        from pisces_tpu.calling import fast_gvcf
+        monkeypatch.setattr(fast_gvcf, "DEVICE_TUPLE_THRESHOLD", 1)
         host = _run(tmp_path, "host", True, intervals_text=INTERVALS,
                     use_device=False)
         dev = _run(tmp_path, "dev", True, intervals_text=INTERVALS,

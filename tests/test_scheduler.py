@@ -168,3 +168,27 @@ class TestMultihost:
             wait_and_merge_shards(str(tmp_path / "f.vcf"),
                                   {"c1": str(tmp_path / "never")}, ["c1"],
                                   timeout_s=0.2, poll_s=0.05)
+
+
+def test_thread_by_chr_byte_identical(tmp_path):
+    """-ThreadByChr per-(bam,chr) shard writers + genome-order concat
+    (GenomeProcessor.cs:81-186) must produce exactly the streaming-writer
+    output, and must leave no shard files behind."""
+    import glob
+    import bench
+
+    bam, gdir = bench._write_synthetic_workload(
+        str(tmp_path / "wl"), n_chroms=3, chrom_len=60_000, n_reads=9_000,
+        variant_rate=0.01)
+    genome = Genome(gdir)
+    outs = {}
+    for mode in (False, True):
+        o = PiscesApplicationOptions()
+        o.output_directory = str(tmp_path / f"tbc_{mode}")
+        os.makedirs(o.output_directory, exist_ok=True)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        res = process_bams_parallel(o, [bam], genome, 3,
+                                    use_device=False, thread_by_chr=mode)
+        outs[mode] = [l for l in open(res[0]) if not l.startswith("##")]
+        assert not glob.glob(os.path.join(o.output_directory, "*.vcf_*"))
+    assert outs[False] == outs[True]
