@@ -80,6 +80,9 @@ class CallerConfig:
     # either way.
     use_device_candidates: bool = True
     device_batch_threshold: int = 4096
+    # >1: candidate batches shard over the (dp, sp) device mesh
+    # (parallel/sharding.sharded_score_snv_tuples) instead of one device
+    mesh_devices: int = 0
     # per-allele strand-bias component tables (forward/reverse/overall
     # ChanceFalsePos etc.) are only materialized when the bias side files
     # are requested (StrandBiasFileWriter columns)
@@ -113,6 +116,7 @@ class CallerConfig:
             need_sb_detail=options.output_bias_files,
             device_batch_threshold=int(os.environ.get(
                 "PISCES_DEVICE_BATCH_THRESHOLD", "4096")),
+            mesh_devices=options.mesh_devices,
             ploidy_model=v.ploidy_model,
             min_frequency_filter=max(v.minimum_frequency_filter, v.minimum_frequency),
             target_lod_frequency=max(v.target_lod_frequency,
@@ -397,6 +401,16 @@ class AlleleCaller:
             min_gq=cfg.min_gq_score, max_gq=cfg.max_gq_score,
             sb_acceptance=cfg.strand_bias_filter_threshold,
             no_call_filter=cfg.no_call_filter_threshold or 1.0)
+        if cfg.mesh_devices > 1:
+            # shard the candidate batch over the (dp, sp) mesh — the mesh
+            # analog of per-candidate scoring inside each (bam, chr) job
+            from pisces_tpu.parallel.sharding import (
+                get_mesh, sharded_score_snv_tuples,
+            )
+            out = sharded_score_snv_tuples(
+                sup_by_dir, cov_by_dir, ref_support, num_no_calls, cov,
+                params, get_mesh(cfg.mesh_devices))
+            return out["variant_qscore"][:n].astype(np.int64)
         pad = max(128, 1 << (n - 1).bit_length())
         sup_p = np.zeros((pad, 3), np.int32)
         cov_p = np.zeros((pad, 3), np.int32)

@@ -206,6 +206,54 @@ def _build_step(mesh: Mesh, params: ScoringParams, l_local: int, halo: int):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_snv_step(mesh: Mesh, params: ScoringParams):
+    """shard_map'd candidate scoring: the fused score_snv_loci kernel
+    row-sharded over the flattened (dp, sp) device ring. Candidate tuples
+    are complete after host aggregation (single-point coverage semantics,
+    AlleleCaller.cs:208-234), so this is pure data parallelism — the mesh
+    analog of the reference's per-candidate scoring inside each (bam, chr)
+    job (P1)."""
+    from pisces_tpu.ops.jax_scoring import score_snv_loci
+
+    spec = P(("dp", "sp"))
+
+    def local_fn(sup, cov, ref_sup, nc, total):
+        return score_snv_loci(sup, cov, ref_sup, nc, total, params)
+
+    step = jax.shard_map(local_fn, mesh=mesh,
+                         in_specs=(spec, spec, spec, spec, spec),
+                         out_specs=spec)
+    return jax.jit(step)
+
+
+def sharded_score_snv_tuples(sup_by_dir, cov_by_dir, ref_support,
+                             num_no_calls, total_coverage,
+                             params: ScoringParams, mesh: Mesh):
+    """Score a candidate batch over the device mesh; returns the
+    score_snv_loci output dict as numpy arrays trimmed to the input length.
+    Padding rows are zero tuples, which the kernel maps to q=0 — discarded
+    by the trim."""
+    n = len(total_coverage)
+    shards = mesh.devices.size
+    unit = shards * 128
+    pad = max(unit, ((n + unit - 1) // unit) * unit)
+
+    def _pad(a, width=None):
+        a = np.asarray(a, np.int32)
+        shape = (pad,) if width is None else (pad, width)
+        out = np.zeros(shape, np.int32)
+        out[:n] = a
+        return out
+
+    sharding = NamedSharding(mesh, P(("dp", "sp")))
+    args = [jax.device_put(x, sharding) for x in
+            (_pad(sup_by_dir, 3), _pad(cov_by_dir, 3), _pad(ref_support),
+             _pad(num_no_calls), _pad(total_coverage))]
+    out = _build_snv_step(mesh, params)(*args)
+    return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
 def sharded_score_reference_positions(ev: BaseEvents, refseq: np.ndarray,
                                       params: ScoringParams, mesh: Mesh,
                                       intervals=None):

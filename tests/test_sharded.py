@@ -71,10 +71,15 @@ class TestShardedStep:
         assert tails.sum() > 0
 
     @pytest.mark.parametrize("n_devices", [1, 2, 8])
-    def test_sharded_equals_single_device(self, n_devices):
+    def test_sharded_equals_single_device(self, n_devices, monkeypatch):
         import jax
+        from pisces_tpu.calling import fast_gvcf
         from pisces_tpu.calling.fast_gvcf import score_reference_positions
         from pisces_tpu.pileup.counts import build_counts_host
+
+        # compare f32-device vs f32-device: force the single-device path
+        # onto the device regardless of the production batch-size gate
+        monkeypatch.setattr(fast_gvcf, "DEVICE_TUPLE_THRESHOLD", 1)
 
         batch = _synthetic_batch()
         keep = np.ones(batch.n, bool)
@@ -179,3 +184,104 @@ class TestShardedWithIntervals:
         lb = [l for l in open(sharded) if not l.startswith("##")]
         assert la == lb
         assert any(l.startswith("chr19\t3000000\t") for l in la)
+
+
+class TestShardedCandidateScoring:
+    def test_snv_tuples_mesh_matches_single(self):
+        """sharded_score_snv_tuples over 8 devices == single-device
+        score_snv_loci on every output."""
+        import jax
+        from pisces_tpu.ops.jax_scoring import score_snv_loci
+        from pisces_tpu.parallel.sharding import sharded_score_snv_tuples
+
+        rng = np.random.default_rng(3)
+        n = 1000  # deliberately not a multiple of the shard unit
+        cov = rng.integers(0, 300, size=(n, 3)).astype(np.int32)
+        sup = (cov * rng.random((n, 3)) * 0.3).astype(np.int32)
+        total = cov.sum(axis=1).astype(np.int32)
+        ref_sup = (total - sup.sum(axis=1)).clip(0).astype(np.int32)
+        nc = rng.integers(0, 4, size=n).astype(np.int32)
+        params = ScoringParams()
+
+        mesh = make_mesh(jax.devices()[:8])
+        sharded = sharded_score_snv_tuples(sup, cov, ref_sup, nc, total,
+                                           params, mesh)
+        single = score_snv_loci(sup, cov, ref_sup, nc, total, params)
+        for k in ("variant_qscore", "genotype", "gq", "filter_bits"):
+            np.testing.assert_array_equal(sharded[k], np.asarray(single[k]),
+                                          err_msg=k)
+
+    def test_variant_vcf_bytes_identical_with_mesh_candidates(
+            self, tmp_path, monkeypatch):
+        """End-to-end on a variant-bearing BAM (SNVs + a deletion + an
+        insertion): -MeshDevices 8 with the candidate batch forced through
+        the mesh (threshold 1) produces byte-identical VCF to single-device."""
+        from pisces_tpu.calling import fast_gvcf
+        from pisces_tpu.io.bam_write import (
+            BamRecord, BamWriter, parse_cigar_string,
+        )
+
+        monkeypatch.setenv("PISCES_DEVICE_BATCH_THRESHOLD", "1")
+        # ref-line scoring must use the same precision on both sides
+        # (mesh scores refs in f32 on-device; keep the single-device run
+        # on-device too instead of the f64 host small-batch route)
+        monkeypatch.setattr(fast_gvcf, "DEVICE_TUPLE_THRESHOLD", 1)
+        rng = np.random.default_rng(11)
+        chrom_len = 4000
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seq = bases[rng.integers(0, 4, chrom_len)]
+        gdir = tmp_path / "genome"
+        gdir.mkdir()
+        with open(gdir / "chrT.fa", "wb") as f:
+            f.write(b">chrT\n")
+            for i in range(0, chrom_len, 70):
+                f.write(seq[i:i + 70].tobytes() + b"\n")
+        with open(gdir / "chrT.fa.fai", "w") as f:
+            f.write(f"chrT\t{chrom_len}\t7\t70\t71\n")
+        with open(gdir / "GenomeSize.xml", "w") as f:
+            f.write('<sequenceSizes genomeName="t">\n\t<chromosome '
+                    f'fileName="chrT.fa" contigName="chrT" '
+                    f'totalBases="{chrom_len}" isCircular="false" md5="x" '
+                    f'ploidy="2" knownBases="{chrom_len}" />\n'
+                    '</sequenceSizes>')
+
+        bam_path = str(tmp_path / "v.bam")
+        w = BamWriter(bam_path, ["chrT"], [chrom_len])
+        rl = 60
+        q30 = [30] * rl
+        recs = []
+        for i in range(400):
+            p = 1 + int(rng.integers(0, chrom_len - rl - 10))
+            rseq = bytearray(seq[p - 1:p - 1 + rl].tobytes())
+            cigar = f"{rl}M"
+            if i % 4 == 0:   # SNV at a fixed site the read covers
+                rseq[10] = b"ACGT"[(seq[p + 9] + 1) % 4]
+            elif i % 7 == 0:  # 2-base deletion
+                cigar = "30M2D30M"
+                rseq = bytearray(seq[p - 1:p + 29].tobytes()
+                                 + seq[p + 31:p + 61].tobytes())
+            elif i % 11 == 0:  # 2-base insertion
+                cigar = "30M2I28M"
+                rseq = bytearray(seq[p - 1:p + 29].tobytes() + b"AC"
+                                 + seq[p + 29:p + 57].tobytes())
+            recs.append((p, cigar, rseq))
+        for i, (p, cigar, rseq) in enumerate(
+                sorted(recs, key=lambda r: r[0])):
+            w.records.append(BamRecord(
+                f"v{i}", 0, p - 1, 60, 0x10 if i & 1 else 0,
+                parse_cigar_string(cigar), rseq.decode(), [30] * len(rseq)))
+        w.write()
+
+        genome = Genome(str(gdir))
+        single = _run_e2e(tmp_path, "single_v", 0, bam_path, genome)
+        sharded = _run_e2e(tmp_path, "mesh8_v", 8, bam_path, genome)
+        la = [l for l in open(single) if not l.startswith("##")]
+        lb = [l for l in open(sharded) if not l.startswith("##")]
+        assert la == lb
+        # the workload must actually contain called SNVs and indels
+        data = [l.split("\t") for l in la if not l.startswith("#")]
+        snvs = [d for d in data if len(d[3]) == 1 and len(d[4]) == 1
+                and d[4] not in (".", "<M>") and d[3] != d[4]]
+        indels = [d for d in data if len(d[3]) != len(d[4])
+                  and d[4] not in (".",)]
+        assert snvs and indels
