@@ -104,6 +104,13 @@ class GeminiOptions:
     # CategoriesForRealignment override (RealignmentOptions.cs:9-31);
     # empty = the default REALIGN_CLASSES set
     categories_to_realign: tuple = ()
+    # Snowballing (RealignmentOptions.cs:32, AggregateRegionProcessor.cs:
+    # 184-255): reads in these categories realign FIRST; their per-indel
+    # outcomes filter the target set down to "super-finalized" indels
+    # before the remaining categories realign
+    categories_to_snowball: tuple = ()
+    recalculate_usable_sites_after_snowball: bool = False
+    require_positive_outcome_for_snowball: bool = False
     # block streaming (DataflowReadEvaluator.ProcessBam / GeminiOptions
     # RegionSize): process the BAM in fixed-size genomic blocks with
     # EdgeState boundary-pair handoff; 0 = whole-chromosome batches
@@ -299,13 +306,14 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         # the partner's lookup (RealignPairHandler pair flow)
         confirmed_by_pair: Dict[int, List] = {}
         order = list(np.nonzero(keep)[0])
-        for i in order:
+
+        def _realign_one(i: int) -> None:
             i = int(i)
             if not _realignable(i):
-                continue
+                return
             if not _site_usable(i):
                 stats["skipped_realign_sites"] += 1
-                continue
+                return
             stats["realign_attempts"] += 1
             pos1, cigar, seq, quals = _read_tuple(batch, i)
             existing = (find_read_indels(chrom_name, pos1, cigar, seq, quals,
@@ -334,6 +342,82 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                     nified_quals[i] = q
             elif confirmed_flag:
                 stats["confirmed"] += 1
+
+        snowball_classes = frozenset()
+        if options.categories_to_snowball and cls_map is not None:
+            snowball_classes = frozenset(
+                PairClassification[name]
+                for name in options.categories_to_snowball)
+        if snowball_classes:
+            # phase 1 (snowball): the chosen categories realign first,
+            # per category in option order (AggregateRegionProcessor.cs:
+            # 187-198), accumulating per-indel outcomes
+            snowballed = set()
+            for name in options.categories_to_snowball:
+                cat = PairClassification[name]
+                for i in order:
+                    if cls_map[int(i)] is cat:
+                        _realign_one(int(i))
+                        snowballed.add(int(i))
+            # super-finalize: drop indels that kept failing or kept losing
+            # to other indels (GetSuperFinalizedIndelsAfterSnowball,
+            # AggregateRegionProcessor.cs:597-633)
+            super_final = []
+            for h in indel_source.indels:
+                oc = evaluator.indel_outcomes.get(h.string_rep)
+                if oc is None:
+                    if not options.require_positive_outcome_for_snowball:
+                        super_final.append(h)
+                    continue
+                confirmed_n, accepted_n, other_accepted, rejected = \
+                    oc[0], oc[1], oc[2], oc[3]
+                pos_n = confirmed_n + accepted_n
+                not_confirmed_or_accepted = pos_n == 0
+                more_other = other_accepted > pos_n * 1.5
+                if rejected > 5 and (not_confirmed_or_accepted or more_other):
+                    continue  # not good enough
+                super_final.append(h)
+            stats["snowball_super_finalized"] = len(super_final)
+            stats["snowball_dropped"] = len(targets) - len(super_final)
+            if len(super_final) != len(targets):
+                indel_source = ChromosomeIndelSource(super_final)
+                prior_outcomes = evaluator.indel_outcomes
+                evaluator = make_evaluator(indel_source, refseq_str, options)
+                # master outcomes lookup persists across the snowball
+                # boundary (_masterOutcomesLookup)
+                evaluator.indel_outcomes = prior_outcomes
+            if (options.recalculate_usable_sites_after_snowball
+                    and conclusions is not None):
+                # reset indel regions from the super-finalized set and
+                # re-extend (AggregateRegionProcessor.cs:218-255); the
+                # messy/depth evidence inputs are unchanged, so a full
+                # recompute with the new targets is equivalent
+                kept_idx = np.nonzero(keep)[0]
+                cls_codes = np.fromiter(
+                    (int(cls_map[int(i)]) for i in kept_idx),
+                    np.int32, len(kept_idx))
+                conclusions = compute_bin_conclusions(
+                    len(refseq), batch.pos[kept_idx], batch.end_pos[kept_idx],
+                    cls_codes,
+                    np.array([t.position for t in super_final], np.int64),
+                    BinSignalOptions(
+                        messy_site_width=options.messy_site_width,
+                        messy_site_threshold=options.messy_site_threshold,
+                        collect_depth=options.collect_depth,
+                        imperfect_freq_threshold=
+                        options.imperfect_freq_threshold,
+                        indel_region_freq_threshold=
+                        options.indel_region_freq_threshold,
+                        region_depth_threshold=options.region_depth_threshold,
+                        directional_mess_threshold=
+                        options.directional_mess_threshold))
+            # phase 2: everything else realigns against the filtered set
+            for i in order:
+                if int(i) not in snowballed:
+                    _realign_one(int(i))
+        else:
+            for i in order:
+                _realign_one(int(i))
     if indel_csv_rows is not None:
         # GeminiWorkflow.WriteIndelsCsv analog: evidence + outcome per indel
         outcomes = evaluator.indel_outcomes if evaluator is not None else {}
@@ -708,21 +792,24 @@ def main(argv=None) -> int:
     a("-categoriestorealign", default=None,
       help="comma-separated PairClassification names overriding the "
            "default realignment category set")
+    a("-categoriestosnowball", default=None,
+      help="comma-separated PairClassification names to realign FIRST; "
+           "their outcomes filter the indel targets (super-finalization) "
+           "before the remaining categories realign")
+    a("-recalculateusablesitesaftersnowball", default="false")
+    a("-requirepositiveoutcomeforsnowball", default="false")
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
                  "-readcachesize", "-numconcurrentregions",
                  "-binsize", "-keepunmerged",
                  "-sortperchrom", "-indexperchrom",
                  "-trackmismatches", "-logregionsandrealignments",
-                 "-categoriestosnowball",
                  "-avoidlikelysnvs",
                  "-checksoftclipsformismatches",
                  "-stringtagstokeepfromr1",
                  "-filterforproperpairs", "-filterpairlowmapq",
                  "-filterpairunmapped", "-treatabnormalorientationasimproper",
                  "-ignorereadsabovemaxlength",
-                 "-allowrescoringorigzero",
-                 "-recalculateusablesitesaftersnowball",
-                 "-requirepositiveoutcomeforsnowball"):
+                 "-allowrescoringorigzero"):
         a(flag, default=None, help=argparse.SUPPRESS)
     args = p.parse_args(_normalize(list(argv if argv is not None
                                         else sys.argv[1:])))
@@ -750,6 +837,15 @@ def main(argv=None) -> int:
         options.categories_to_realign = tuple(
             _re.sub(r"(?<!^)(?=[A-Z])", "_", c.strip()).upper()
             for c in args.categoriestorealign.split(",") if c.strip())
+    if args.categoriestosnowball:
+        import re as _re
+        options.categories_to_snowball = tuple(
+            _re.sub(r"(?<!^)(?=[A-Z])", "_", c.strip()).upper()
+            for c in args.categoriestosnowball.split(",") if c.strip())
+    options.recalculate_usable_sites_after_snowball = _b(
+        args.recalculateusablesitesaftersnowball)
+    options.require_positive_outcome_for_snowball = _b(
+        args.requirepositiveoutcomeforsnowball)
     options.trust_softclips = _b(args.trustsoftclips)
     options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
     options.skip_and_remove_dups = _b(args.skipandremovedups)

@@ -1141,7 +1141,9 @@ class RealignmentEvaluator:
         self.indel_outcomes: Dict[str, List[int]] = {}
 
     def _outcome(self, h: HashableIndel) -> List[int]:
-        # [confirmed, accepted, acceptedOther, rejected]
+        # [confirmed, accepted, acceptedOther, rejected] — the snowball
+        # predicate reads these (reference outcome slots 5, 6, 7, 1;
+        # RealignmentEvaluator.cs UpdateIndelOutcomes/UpdateOutcomeForConfirmed)
         return self.indel_outcomes.setdefault(h.string_rep, [0, 0, 0, 0])
 
     def get_final_alignment(self, pos1: int, cigar, seq: str, quals,
@@ -1227,8 +1229,15 @@ class RealignmentEvaluator:
                     good = self._judger.better_or_equal(result, original,
                                                         pair_aware)
             if good:
+                accepted_set = set(id(h) for h in result.accepted_hashables)
                 for k, h in enumerate(result.accepted_hashables):
                     self._outcome(h)[1] += 1
+                # tried indels the accepted realignment did NOT use: the
+                # "otherAccepted" outcome (UpdateIndelOutcomes, outcome[7])
+                # — snowballing drops indels that keep losing to others
+                for h in indels:
+                    if id(h) not in accepted_set:
+                        self._outcome(h)[2] += 1
                 if confirmed_accepteds is not None:
                     confirmed_accepteds.extend(result.accepted_hashables)
                 return (result.position, list(result.cigar), True, False,

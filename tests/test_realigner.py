@@ -363,3 +363,65 @@ class TestSoftclipAfterIndel:
                                    existing_indels=existing)
         assert changed
         assert cigar_out == cig("10M10S")
+
+
+class TestSnowballing:
+    """Gemini snowballing (AggregateRegionProcessor.cs:184-255, 597-633):
+    snowball categories realign first; their per-indel outcomes filter the
+    target set (super-finalization) before the remaining categories
+    realign."""
+
+    def _bam(self, tmp_path):
+        gdir = TestGeminiPipeline._make_genome(TestGeminiPipeline(),
+                                               tmp_path, REF)
+        bam_path = str(tmp_path / "in.bam")
+        w = BamWriter(bam_path, ["chr1"], [len(REF)])
+        del_read = REF[0:10] + REF[13:23]
+        for i in range(5):  # cigared deletion evidence -> INDEL_SINGLETON
+            w.add_read(f"good{i}", "chr1", 1, "10M3D10M", del_read)
+        for i in range(3):  # same bases aligned as mismatches
+            w.add_read(f"bad{i}", "chr1", 1, "20M", del_read)
+        w.write()
+        return bam_path, gdir
+
+    def _n_del(self, out):
+        rb = BamReader(out)
+        batch = rb.fetch(0)
+        return sum(1 for i in range(batch.n)
+                   if 2 in batch.cigar_ops[batch.cigar_off[i]:
+                                           batch.cigar_off[i + 1]].tolist())
+
+    def test_snowball_confirmed_indel_survives(self, tmp_path):
+        """Snowballing on the evidence category: phase 1 confirms the
+        deletion, the super-finalized set keeps it, and phase 2 realigns
+        the mismatch reads exactly like the non-snowball run."""
+        bam_path, gdir = self._bam(tmp_path)
+        out = run_gemini(bam_path, gdir, str(tmp_path / "out.bam"),
+                         GeminiOptions(
+                             stitch_pairs=False,
+                             categories_to_snowball=("INDEL_SINGLETON",)))
+        assert self._n_del(out) == 8
+
+    def test_snowball_unsupported_indel_dropped(self, tmp_path):
+        """RequirePositiveOutcomeForSnowball with a snowball category that
+        produced no outcomes for the indel: super-finalization drops it
+        (AggregateRegionProcessor.cs:624-630), so phase 2 leaves the
+        mismatch reads unrealigned — output genuinely changes."""
+        bam_path, gdir = self._bam(tmp_path)
+        out = run_gemini(bam_path, gdir, str(tmp_path / "snow.bam"),
+                         GeminiOptions(
+                             stitch_pairs=False,
+                             categories_to_snowball=("UNSTITCH_PERFECT",),
+                             require_positive_outcome_for_snowball=True))
+        assert self._n_del(out) == 5  # evidence reads keep 3D; bad reads not realigned
+
+    def test_snowball_flag_parsing(self, tmp_path):
+        from pisces_tpu.preprocessing.gemini import main as gemini_main
+        import inspect
+        # CamelCase reference names normalize to our enum members
+        import re as _re
+        for cam, snake in (("ImperfectStitched", "IMPERFECT_STITCHED"),
+                           ("UnstitchIndel", "UNSTITCH_INDEL"),
+                           ("Disagree", "DISAGREE")):
+            got = _re.sub(r"(?<!^)(?=[A-Z])", "_", cam).upper()
+            assert got == snake
