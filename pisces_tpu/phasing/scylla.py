@@ -771,63 +771,74 @@ def _merge_to_output(vcf_path: str, out_path: str,
                 out.write("##phasing=Scylla\n")
             out.write(line + "\n")
 
-        for group in iter_colocated(variants):
-            chrom = group[0].chrom
-            pos = group[0].position
-            nbhd = None
-            for nb in nbhd_by_chrom.get(chrom, []):
-                if nb.first_position_of_interest <= pos <= nb.last_position_in_vcf:
-                    nbhd = nb
-                    break
-            if nbhd is None:
-                rows = [(to_called_alleles(v)[0], v.raw_line) for v in group
-                        if to_called_alleles(v)]
-                seen_raw = set()
-                for _a, raw in _adjust_forced(rows):
-                    if raw not in seen_raw:
-                        seen_raw.add(raw)
+        def write_rows(rows) -> None:
+            seen_lines = set()
+            for a, raw in rows:
+                if raw is not None:
+                    if raw not in seen_lines:
+                        seen_lines.add(raw)
                         out.write(raw + "\n")
-                continue
-            used_positions = {a.position for a in nbhd.original_vcf_variants()}
+                else:
+                    out.write(allele_line(a) + "\n")
+
+        def flush_nbhd(nbhd, lines) -> None:
+            """GetMergedListOfVariants over one neighborhood's collected
+            original lines (VcfMerger.cs:205-282): replace used originals,
+            swallow stats-identical phased alleles, append unconsumed phased
+            alleles, sort the merged list once, write."""
             used_alleles = [(a.position, a.ref_allele, a.alt_allele)
                             for a in nbhd.original_vcf_variants()]
             out_alleles: List[Tuple[CalledAllele, Optional[str]]] = []
-            mnvs_here = nbhd.called_variants.get(pos, [])
-            wrote_mnv = bool(mnvs_here)
-            group_alleles = [(v, a) for v in group
-                             for a in to_called_alleles(v)]
-            for mnv in mnvs_here:
-                # identical allele with identical stats: keep the original
-                # line verbatim (VcfMerger.cs:226-236)
-                raw = None
+            by_pos: Dict[int, list] = {}
+            for v in lines:
+                by_pos.setdefault(v.position, []).append(v)
+            for pos in by_pos:
+                group_alleles = [(v, a) for v in by_pos[pos]
+                                 for a in to_called_alleles(v)]
+                mnvs_here = nbhd.called_variants.get(pos, [])
+                wrote_mnv = bool(mnvs_here)
+                for mnv in mnvs_here:
+                    # identical allele with identical stats: keep the
+                    # original line verbatim (VcfMerger.cs:226-236)
+                    raw = None
+                    for v, a in group_alleles:
+                        if (a.position == mnv.position
+                                and a.ref_allele == mnv.ref_allele
+                                and a.alt_allele == mnv.alt_allele
+                                and a.allele_support == mnv.allele_support
+                                and a.total_coverage == mnv.total_coverage
+                                and a.reference_support
+                                == mnv.reference_support):
+                            raw = v.raw_line
+                            break
+                    out_alleles.append((mnv, raw))
+                nbhd.called_variants[pos] = []
                 for v, a in group_alleles:
-                    if (a.position == mnv.position
-                            and a.ref_allele == mnv.ref_allele
-                            and a.alt_allele == mnv.alt_allele
-                            and a.allele_support == mnv.allele_support
-                            and a.total_coverage == mnv.total_coverage
-                            and a.reference_support == mnv.reference_support):
-                        raw = v.raw_line
-                        break
-                out_alleles.append((mnv, raw))
-            nbhd.called_variants[pos] = []
-            for v, a in group_alleles:
-                was_used = (a.position, a.ref_allele,
-                            a.alt_allele) in used_alleles
-                if wrote_mnv:
-                    # the phased MNVs own this locus: add back only unused
-                    # non-reference originals — never a CalledRefs line
-                    # (VcfMerger.cs:221-246)
-                    if not was_used and not a.is_ref_type:
+                    was_used = (a.position, a.ref_allele,
+                                a.alt_allele) in used_alleles
+                    if wrote_mnv:
+                        # the phased MNVs own this locus: add back only
+                        # unused non-reference originals — never a
+                        # CalledRefs line (VcfMerger.cs:221-246)
+                        if not was_used and not a.is_ref_type:
+                            out_alleles.append((a, v.raw_line))
+                    elif was_used:
+                        new_ref = nbhd.called_refs.get(a.position)
+                        if new_ref is not None and not any(
+                                x[0].position == pos and x[0].is_ref_type
+                                for x in out_alleles):
+                            out_alleles.append((new_ref, None))
+                    else:
                         out_alleles.append((a, v.raw_line))
-                elif was_used:
-                    new_ref = nbhd.called_refs.get(a.position)
-                    if new_ref is not None and not any(
-                            x[0].position == pos and x[0].is_ref_type
-                            for x in out_alleles):
-                        out_alleles.append((new_ref, None))
-                else:
-                    out_alleles.append((a, v.raw_line))
+            # phased alleles at positions never visited by an original line
+            # (a leftover-bypassed first line, or an allele keyed between
+            # originals): "in case we called any MNVs past the edge"
+            # (VcfMerger.cs:270-278)
+            for p in sorted(nbhd.called_variants):
+                for mnv in nbhd.called_variants[p]:
+                    out_alleles.append((mnv, None))
+                nbhd.called_variants[p] = []
+
             # AlleleTupleCompareByLociAndAllele (VcfMerger.cs:278) compares
             # the stored alternate string: originals parsed from the VCF
             # keep their raw "." on reference lines (AlleleReader.cs:133),
@@ -839,15 +850,69 @@ def _merge_to_output(vcf_path: str, out_path: str,
                     else a.alt_allele
             out_alleles.sort(key=lambda t: (t[0].position, t[0].ref_allele,
                                             _sort_alt(t)))
-            out_alleles = _adjust_forced(out_alleles)
-            seen_lines = set()
-            for a, raw in out_alleles:
-                if raw is not None:
-                    if raw not in seen_lines:
-                        seen_lines.add(raw)
+            # forced-allele ordering is a per-position rule
+            # (VcfMergerUtils.cs:12-78)
+            final: List[Tuple[CalledAllele, Optional[str]]] = []
+            i = 0
+            while i < len(out_alleles):
+                j = i
+                while (j < len(out_alleles) and out_alleles[j][0].position
+                        == out_alleles[i][0].position):
+                    j += 1
+                final.extend(_adjust_forced(out_alleles[i:j]))
+                i = j
+            write_rows(final)
+
+        # Streaming emulation of VariantPhaser's merge loop: each merge
+        # closes by READING the first line past its neighborhood; that line
+        # becomes the next call's leftover, which WriteVariantsUptoChr
+        # writes VERBATIM before merging (VcfMerger.cs:64-86 + VariantPhaser
+        # .cs:92-99). A leftover that is the next neighborhood's first
+        # variant therefore BYPASSES its own neighborhood's merge — its
+        # original line passes through untouched and its phased twin is
+        # emitted through the trailing unconsumed loop. Pinned by the
+        # shipped Bcereus oracles: 694/814 (leftover-bypassed) get original
+        # + phased lines; 1162/2275 (reached after intervening non-nbhd
+        # lines) swallow the stats-identical phased allele.
+        active = None
+        collected: List = []
+        just_closed_chrom: Optional[str] = None
+        for group in iter_colocated(variants):
+            chrom = group[0].chrom
+            pos = group[0].position
+            nbhd = None
+            for nb in nbhd_by_chrom.get(chrom, []):
+                if nb.first_position_of_interest <= pos <= nb.last_position_in_vcf:
+                    nbhd = nb
+                    break
+            if active is not None and nbhd is not active:
+                flush_nbhd(active, collected)
+                collected = []
+                just_closed_chrom = active.chrom
+                active = None
+            if nbhd is None:
+                rows = [(to_called_alleles(v)[0], v.raw_line) for v in group
+                        if to_called_alleles(v)]
+                seen_raw = set()
+                for _a, raw in _adjust_forced(rows):
+                    if raw not in seen_raw:
+                        seen_raw.add(raw)
                         out.write(raw + "\n")
-                else:
-                    out.write(allele_line(a) + "\n")
+                just_closed_chrom = None  # leftover consumed here
+                continue
+            if nbhd is not active:
+                active = nbhd
+                if just_closed_chrom == chrom:
+                    # this group's first line is the previous merge's
+                    # read-ahead leftover: verbatim passthrough, bypassing
+                    # the merge (its colocated siblings, if any, are later
+                    # blocks and merge normally)
+                    out.write(group[0].raw_line + "\n")
+                    group = group[1:]
+                just_closed_chrom = None
+            collected.extend(group)
+        if active is not None:
+            flush_nbhd(active, collected)
 
 
 def pisces_defaults_from_vcf_header(vcf_path: str) -> dict:

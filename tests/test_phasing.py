@@ -457,3 +457,31 @@ def test_forced_report_ordering_parity(tmp_path):
            if not l.startswith("##")
            and l.split("\t")[1] not in composition_sensitive]
     assert got == exp
+
+
+def test_bcereus_somatic_full_file_parity(tmp_path):
+    """Scylla.Tests ExecutionTests.TestSomaticOnBugNoGenomeExecution: the
+    whole Bcereus_S4 phased VCF byte-matches the shipped oracle, including
+    the leftover-bypass lines at 694/814 — the reference merge closes a
+    neighborhood by READING the first line past it; that line is the next
+    merge call's leftover, which WriteVariantsUptoChr writes VERBATIM
+    before merging (VcfMerger.cs:64-86), so when it is the next
+    neighborhood's first variant it bypasses GetMergedListOfVariants and
+    its stats-identical phased twin is emitted through the trailing
+    unconsumed-MNV loop (VcfMerger.cs:270-278)."""
+    import conftest
+    from pisces_tpu.phasing.scylla import main as scylla_main
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    assert scylla_main([
+        "-bam", conftest.shared_bam("Bcereus_S4.bam"),
+        "-vcf", os.path.join(SD, "Bcereus_S4.vcf"),
+        "-out", out_dir]) in (0, None)
+    got = [l for l in open(os.path.join(out_dir, "Bcereus_S4.phased.vcf"))
+           if not l.startswith("##")]
+    exp = [l for l in open(os.path.join(SD, "Bcereus_S4.out.Rs.phased.vcf"))
+           if not l.startswith("##")]
+    assert got == exp
+    assert len(got) > 40
