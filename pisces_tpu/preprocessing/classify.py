@@ -337,10 +337,17 @@ def _classify_indel_pair(f: ReadFeatures, i1: int, i2: Optional[int],
 
 def classify_pair(f: ReadFeatures, i1: int, i2: Optional[int],
                   min_map_quality: int = 10,
-                  trust_softclips: bool = False) -> PairClassification:
+                  trust_softclips: bool = False,
+                  abnormal_as_improper: bool = False,
+                  batch: Optional[ReadBatch] = None) -> PairClassification:
     """Classify one pair (i2 None = singleton/mate unseen).
 
-    Follows GetBamAlignmentsAndClassification (cs:43-253)."""
+    Follows GetBamAlignmentsAndClassification (cs:43-253).
+    abnormal_as_improper: TreatAbnormalOrientationAsImproper — a pair not
+    in FR orientation classifies as Improper even when flagged proper
+    (isImproper = IsImproper || !NormalPairOrientation,
+    ReadPairClassifierAndExtractor.cs:451; orientation per
+    ReadPair.cs:108-132)."""
     if f.duplicate[i1] or (i2 is not None and f.duplicate[i2]):
         return PairClassification.DUPLICATE
 
@@ -351,6 +358,10 @@ def classify_pair(f: ReadFeatures, i1: int, i2: Optional[int],
     if i2 is None:
         # incomplete pair (ClassifyIncompletePair, cs:443-495)
         improper = bool(f.paired[i1] and not f.proper[i1])
+        if (abnormal_as_improper and batch is not None and f.paired[i1]
+                and not f.mate_unmapped[i1]
+                and not _normal_orientation(batch, i1)):
+            improper = True
         if f.unmapped[i1]:
             return PairClassification.UNUSABLE
         if improper and not f.mate_unmapped[i1]:
@@ -447,11 +458,34 @@ def classify_pair(f: ReadFeatures, i1: int, i2: Optional[int],
     return PairClassification.UNSTITCH_IMPERFECT
 
 
+def _normal_orientation(batch: ReadBatch, i: int) -> bool:
+    """FR-orientation test (ReadPair.cs:108-132): mates on opposite strands
+    and the forward mate leftmost (RF is abnormal)."""
+    from pisces_tpu.io.bam import FLAG_MATE_REVERSE, FLAG_REVERSE
+    flag = int(batch.flag[i])
+    rev = bool(flag & FLAG_REVERSE)
+    mate_rev = bool(flag & FLAG_MATE_REVERSE)
+    if rev == mate_rev:
+        return False
+    if batch.mate_ref_id is None or batch.mate_pos is None:
+        return True
+    if int(batch.ref_id[i]) != int(batch.mate_ref_id[i]):
+        return True
+    pos = int(batch.pos[i])
+    mate_pos = int(batch.mate_pos[i])
+    if not rev and pos > mate_pos:
+        return False  # RF
+    if rev and mate_pos > pos:
+        return False  # RF
+    return True
+
+
 def classify_batch(batch: ReadBatch, ref_codes: np.ndarray,
                    read_names: List[str],
                    min_map_quality: int = 10,
                    trust_softclips: bool = False,
-                   check_md: bool = False
+                   check_md: bool = False,
+                   abnormal_as_improper: bool = False
                    ) -> Dict[int, PairClassification]:
     """Classification for every primary read, keyed by read index; both
     mates of a pair share the pair's classification.
@@ -488,5 +522,8 @@ def classify_batch(batch: ReadBatch, ref_codes: np.ndarray,
         else:
             for i in members:
                 out[i] = classify_pair(f, i, None, min_map_quality,
-                                       trust_softclips)
+                                       trust_softclips,
+                                       abnormal_as_improper=
+                                       abnormal_as_improper,
+                                       batch=batch)
     return out

@@ -111,6 +111,12 @@ class GeminiOptions:
     categories_to_snowball: tuple = ()
     recalculate_usable_sites_after_snowball: bool = False
     require_positive_outcome_for_snowball: bool = False
+    # read/pair-level filters (StitcherPairFilter.cs:37-122 semantics)
+    filter_for_proper_pairs: bool = False      # StitcherOptions.cs:10
+    filter_pair_low_mapq: bool = True          # StitcherOptions.cs:28
+    filter_pair_unmapped: bool = False         # StitcherOptions.cs:27
+    ignore_reads_above_max_length: bool = False  # StitcherOptions.cs:25
+    treat_abnormal_orientation_as_improper: bool = False  # GeminiOptions
     # block streaming (DataflowReadEvaluator.ProcessBam / GeminiOptions
     # RegionSize): process the BAM in fixed-size genomic blocks with
     # EdgeState boundary-pair handoff; 0 = whole-chromosome batches
@@ -188,6 +194,58 @@ def _read_tuple(batch: ReadBatch, i: int):
     return int(batch.pos[i]) + 1, cigar, seq, quals
 
 
+def gemini_keep_mask(batch: ReadBatch, options: GeminiOptions,
+                     read_names: Optional[List[str]] = None) -> np.ndarray:
+    """StitcherPairFilter read-skip + pair-blacklist rules
+    (StitcherPairFilter.cs:37-122).
+
+    Read-level skips: unmapped / secondary / supplementary / cigar-less;
+    mapq in (0, min) only when FilterPairLowMapQ is OFF (with it on, low
+    mapq blacklists the PAIR instead); improper pairs when
+    FilterForProperPairs; reads above MaxReadLength when
+    IgnoreReadsAboveMaxLength. Pair-level blacklists (both mates dropped):
+    low-mapq mate (FilterPairLowMapQ), truly-unmapped mate
+    (FilterPairUnmapped), duplicates (SkipAndRemoveDups)."""
+    from pisces_tpu.io.bam import (
+        FLAG_DUPLICATE, FLAG_PROPER_PAIR, FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
+        FLAG_UNMAPPED,
+    )
+    flag = batch.flag
+    keep = (flag & FLAG_UNMAPPED) == 0
+    keep &= (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    keep &= (batch.cigar_off[1:] - batch.cigar_off[:-1]) > 0
+    keep &= batch.pos >= 0
+    low_mapq = (batch.mapq > 0) & (batch.mapq < options.min_map_quality)
+    if not options.filter_pair_low_mapq:
+        keep &= ~low_mapq
+    if options.filter_for_proper_pairs:
+        keep &= (flag & FLAG_PROPER_PAIR) != 0
+    if options.ignore_reads_above_max_length:
+        keep &= ((batch.seq_off[1:] - batch.seq_off[:-1])
+                 <= options.max_read_length)
+
+    blacklist = np.zeros(batch.n, dtype=bool)
+    if options.filter_pair_low_mapq:
+        blacklist |= low_mapq
+    if options.filter_pair_unmapped:
+        # "truly unmapped": no flag AND no coordinates (the comment in
+        # ShouldBlacklistReadIndexer distinguishes mapq-0-but-placed mates)
+        blacklist |= ((flag & FLAG_UNMAPPED) != 0) & (batch.ref_id < 0)
+        if batch.mate_ref_id is not None:
+            from pisces_tpu.io.bam import FLAG_MATE_UNMAPPED
+            blacklist |= (((flag & FLAG_MATE_UNMAPPED) != 0)
+                          & (batch.mate_ref_id < 0))
+    if options.skip_and_remove_dups:
+        blacklist |= (flag & FLAG_DUPLICATE) != 0
+    if blacklist.any() and read_names is not None:
+        # blacklisting is pair-wide: extend to same-name mates
+        bad_names = {read_names[i] for i in np.nonzero(blacklist)[0]}
+        for i in range(batch.n):
+            if read_names[i] in bad_names:
+                blacklist[i] = True
+    return keep & ~blacklist
+
+
 def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
                        options: GeminiOptions,
                        read_names: Optional[List[str]] = None,
@@ -198,8 +256,7 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
     _classify.NM_MESSY = options.num_mismatches_messy
     _classify.SOFTCLIPS_MESSY = options.num_softclips_messy
     _classify.MESSY_MAPQ = options.messy_mapq
-    keep = filter_batch(batch, options.min_map_quality,
-                        remove_duplicates=options.skip_and_remove_dups)
+    keep = gemini_keep_mask(batch, options, read_names)
     stats = defaultdict(int)
     from pisces_tpu.domain.types import BASE_TO_ALLELE as _B2A
     from pisces_tpu.preprocessing.classify import extract_features
@@ -225,7 +282,9 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
         cls_map = classify_batch(batch, ref_codes, read_names,
                                  options.classifier_min_mapq,
                                  options.trust_softclips,
-                                 check_md=options.silence_suspicious_md_reads)
+                                 check_md=options.silence_suspicious_md_reads,
+                                 abnormal_as_improper=options.
+                                 treat_abnormal_orientation_as_improper)
         for cls in cls_map.values():
             stats[f"cls_{cls.name}"] += 1
 
@@ -798,6 +857,21 @@ def main(argv=None) -> int:
            "before the remaining categories realign")
     a("-recalculateusablesitesaftersnowball", default="false")
     a("-requirepositiveoutcomeforsnowball", default="false")
+    a("-filterforproperpairs", default="false")
+    a("-filterpairlowmapq", default="true")
+    a("-filterpairunmapped", default="false")
+    a("-treatabnormalorientationasimproper", default="false")
+    a("-ignorereadsabovemaxlength", default="false")
+    # accepted-and-inert flags, each inert IN THE REFERENCE TOO:
+    # samtools/exepath (output merge is native here; reference shells out),
+    # readcachesize/numconcurrentregions/binsize (TPL Dataflow tuning),
+    # keepunmerged/sortperchrom/indexperchrom (external samtools staging),
+    # trackmismatches/checksoftclipsformismatches (alternate mismatch
+    # accounting in the comparer — assessed but default-off),
+    # avoidlikelysnvs (feeds single-mismatch bin hits whose only consumer
+    # is commented out — BinConclusions.cs:188 'isProbableSnv = false;
+    # TODO'), logregionsandrealignments / stringtagstokeepfromr1 /
+    # allowrescoringorigzero (log + tag plumbing).
     for flag in ("-samtools", "-samtoolsoldstyle", "-exepath",
                  "-readcachesize", "-numconcurrentregions",
                  "-binsize", "-keepunmerged",
@@ -806,9 +880,6 @@ def main(argv=None) -> int:
                  "-avoidlikelysnvs",
                  "-checksoftclipsformismatches",
                  "-stringtagstokeepfromr1",
-                 "-filterforproperpairs", "-filterpairlowmapq",
-                 "-filterpairunmapped", "-treatabnormalorientationasimproper",
-                 "-ignorereadsabovemaxlength",
                  "-allowrescoringorigzero"):
         a(flag, default=None, help=argparse.SUPPRESS)
     args = p.parse_args(_normalize(list(argv if argv is not None
@@ -846,6 +917,13 @@ def main(argv=None) -> int:
         args.recalculateusablesitesaftersnowball)
     options.require_positive_outcome_for_snowball = _b(
         args.requirepositiveoutcomeforsnowball)
+    options.filter_for_proper_pairs = _b(args.filterforproperpairs)
+    options.filter_pair_low_mapq = _b(args.filterpairlowmapq)
+    options.filter_pair_unmapped = _b(args.filterpairunmapped)
+    options.treat_abnormal_orientation_as_improper = _b(
+        args.treatabnormalorientationasimproper)
+    options.ignore_reads_above_max_length = _b(
+        args.ignorereadsabovemaxlength)
     options.trust_softclips = _b(args.trustsoftclips)
     options.keep_both_side_softclips = _b(args.keepbothsidesoftclips)
     options.skip_and_remove_dups = _b(args.skipandremovedups)

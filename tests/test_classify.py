@@ -226,3 +226,75 @@ class TestSuspiciousMd:
              ("p", 11, "30M", r1, PAIR2, 60)], tmp_path, ref=ref)
         assert cls[0] in (PairClassification.UNSTITCH_MESSY,
                           PairClassification.UNSTITCH_MESSY_SUSPICIOUS_READ)
+
+
+class TestPairFilters:
+    """StitcherPairFilter.cs:37-122 read-skip + pair-blacklist rules and
+    TreatAbnormalOrientationAsImproper (ReadPairClassifierAndExtractor
+    .cs:451, orientation per ReadPair.cs:108-132)."""
+
+    def _batch(self, tmp_path, reads):
+        from pisces_tpu.io.bam import BamReader
+        from pisces_tpu.io.bam_write import BamWriter
+        path = str(tmp_path / "f.bam")
+        w = BamWriter(path, ["chr1"], [10_000])
+        for kw in reads:
+            w.add_read(**kw)
+        w.write()
+        return BamReader(path).fetch(0, parse_names=True)
+
+    def test_pair_low_mapq_blacklists_both_mates(self, tmp_path):
+        from pisces_tpu.preprocessing.gemini import (
+            GeminiOptions, gemini_keep_mask,
+        )
+        batch = self._batch(tmp_path, [
+            dict(name="p", chrom="chr1", pos1=100, cigar="20M", seq="A" * 20,
+                 flag=0x1 | 0x2 | 0x40, mapq=60, mate_pos0=149),
+            dict(name="p", chrom="chr1", pos1=150, cigar="20M", seq="A" * 20,
+                 flag=0x1 | 0x2 | 0x80 | 0x10, mapq=3, mate_pos0=99),
+            dict(name="solo", chrom="chr1", pos1=300, cigar="20M",
+                 seq="A" * 20, mapq=0),
+        ])
+        o = GeminiOptions(min_map_quality=10)
+        keep = gemini_keep_mask(batch, o, batch.names)
+        # default FilterPairLowMapQ=true: the low-mapq mate blacklists BOTH
+        assert list(keep) == [False, False, True]
+        # mapq-0 reads are never mapq-skipped (StitcherPairFilter.cs:39)
+        o2 = GeminiOptions(min_map_quality=10, filter_pair_low_mapq=False)
+        keep2 = gemini_keep_mask(batch, o2, batch.names)
+        # read-level skip only: the good mate survives
+        assert list(keep2) == [True, False, True]
+
+    def test_proper_pairs_and_max_length(self, tmp_path):
+        from pisces_tpu.preprocessing.gemini import (
+            GeminiOptions, gemini_keep_mask,
+        )
+        batch = self._batch(tmp_path, [
+            dict(name="imp", chrom="chr1", pos1=100, cigar="20M",
+                 seq="A" * 20, flag=0x1 | 0x40, mapq=60),   # not proper
+            dict(name="long", chrom="chr1", pos1=200, cigar="40M",
+                 seq="A" * 40, mapq=60),
+        ])
+        o = GeminiOptions(filter_for_proper_pairs=True)
+        assert list(gemini_keep_mask(batch, o, batch.names))[0] is np.False_
+        o2 = GeminiOptions(ignore_reads_above_max_length=True,
+                           max_read_length=30)
+        keep2 = gemini_keep_mask(batch, o2, batch.names)
+        assert bool(keep2[1]) is False and bool(keep2[0]) is True
+
+    def test_abnormal_orientation_improper(self, tmp_path):
+        from pisces_tpu.domain.types import BASE_TO_ALLELE
+        # singleton paired read in RR orientation (mate also reverse):
+        # abnormal -> Improper only when the flag is on
+        batch = self._batch(tmp_path, [
+            dict(name="rr", chrom="chr1", pos1=100, cigar="20M",
+                 seq="A" * 20, flag=0x1 | 0x2 | 0x10 | 0x20 | 0x40,
+                 mapq=60, mate_pos0=500),
+        ])
+        refseq = np.frombuffer(b"A" * 10_000, dtype=np.uint8)
+        ref_codes = BASE_TO_ALLELE[refseq]
+        base = classify_batch(batch, ref_codes, batch.names)
+        flagged = classify_batch(batch, ref_codes, batch.names,
+                                 abnormal_as_improper=True)
+        assert base[0] != PairClassification.IMPROPER
+        assert flagged[0] == PairClassification.IMPROPER
