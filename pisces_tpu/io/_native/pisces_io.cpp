@@ -686,15 +686,25 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
   res.anchored_counts.assign(n_anchored * 18 * K, 0);
   res.anchored_quals.assign(n_anchored * 18 * K, 0.0);
 
+  // block lookup memoized per key: consecutive bases almost always stay in
+  // the same 1000-bp block, so the binary search runs ~once per block
+  // transition instead of once per base
+  int64_t memo_key = -1;
+  int64_t memo_slot = -1;
   auto row_of = [&](int64_t gpos) -> int64_t {
     int64_t key = (gpos + block_size - 1) / block_size;
-    auto it = std::lower_bound(keys.begin(), keys.end(), key);
-    if (it == keys.end() || *it != key) return -1;
-    int64_t slot = it - keys.begin();
-    return slot * block_size + (gpos - 1) % block_size;
+    if (key != memo_key) {
+      auto it = std::lower_bound(keys.begin(), keys.end(), key);
+      memo_key = key;
+      memo_slot = (it == keys.end() || *it != key) ? -1 : (it - keys.begin());
+    }
+    if (memo_slot < 0) return -1;
+    return memo_slot * block_size + (gpos - 1) % block_size;
   };
+  const int64_t anch_lo = n_anchored ? anchored_pos[0] : 0;
+  const int64_t anch_hi = n_anchored ? anchored_pos[n_anchored - 1] : -1;
   auto anchored_of = [&](int64_t gpos) -> int64_t {
-    if (n_anchored == 0) return -1;
+    if (gpos < anch_lo || gpos > anch_hi) return -1;  // covers n_anchored==0
     const int64_t* e = anchored_pos + n_anchored;
     const int64_t* it = std::lower_bound(anchored_pos, e, gpos);
     if (it == e || *it != gpos) return -1;

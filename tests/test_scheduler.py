@@ -192,3 +192,64 @@ def test_thread_by_chr_byte_identical(tmp_path):
         outs[mode] = [l for l in open(res[0]) if not l.startswith("##")]
         assert not glob.glob(os.path.join(o.output_directory, "*.vcf_*"))
     assert outs[False] == outs[True]
+
+
+def test_crashed_subprocess_leaves_shards_and_resumes(tmp_path):
+    """A worker that dies mid-run (its chromosome's reference made
+    unreadable) fails the multiprocess run, but completed shards survive
+    on disk; after the fault is repaired, resume=True finishes only the
+    missing chromosomes and the merged VCF equals a clean run's."""
+    import shutil
+    import bench
+    from pisces_tpu.parallel.scheduler import process_chromosomes_multiprocess
+
+    bam, gdir = bench._write_synthetic_workload(
+        str(tmp_path / "wl"), n_chroms=3, chrom_len=40_000, n_reads=6_000,
+        variant_rate=0.0)
+
+    def make_options(out_dir):
+        o = PiscesApplicationOptions()
+        o.output_directory = str(out_dir)
+        os.makedirs(o.output_directory, exist_ok=True)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        return o
+
+    clean = process_chromosomes_multiprocess(
+        make_options(tmp_path / "clean"), bam, gdir, 2, False)
+
+    # poison chr2: its lazy reference load dies inside that worker only
+    fa = os.path.join(gdir, "chr2.fa")
+    shutil.move(fa, fa + ".hidden")
+    crash_dir = tmp_path / "crash"
+    with pytest.raises(Exception):
+        process_chromosomes_multiprocess(make_options(crash_dir), bam, gdir,
+                                         2, False)
+    shards = [p for p in os.listdir(crash_dir) if ".vcf_chr" in p]
+    assert shards, "completed shards must survive the crash"
+    assert not any(p.endswith("_chr2") for p in shards)
+
+    shutil.move(fa + ".hidden", fa)
+    out = process_chromosomes_multiprocess(make_options(crash_dir), bam,
+                                           gdir, 2, False, resume=True)
+    got = [l for l in open(out) if not l.startswith("#")]
+    exp = [l for l in open(clean) if not l.startswith("#")]
+    assert got == exp
+
+
+def test_native_tsan_harness():
+    """Build and run the ThreadSanitizer stress harness over the native
+    module (per-thread handles, concurrent decode+pileup — the scheduler's
+    concurrency shape). TSan exits non-zero on any data race."""
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "pisces_tpu", "io", "_native")
+    r = subprocess.run(["make", "-C", native_dir, "tsan"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {r.stderr[-200:]}")
+    bam = conftest.shared_bam("Chr17Chr19.bam")
+    r = subprocess.run([os.path.join(native_dir, "tsan_check"), bam,
+                        "8", "3"], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tsan_check ok" in r.stdout
