@@ -261,6 +261,8 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     every variant there is forced-to-report — the reference keeps the
     locus's reference allele when only forced alleles coexist
     (AlleleCaller.cs:143-150 guards the prune on a non-forced variant)."""
+    from pisces_tpu.calling.fast_gvcf import RefLineBlock
+
     variant_positions = {}
     for a in variant_alleles:
         variant_positions.setdefault(a.position, []).append(a)
@@ -273,9 +275,18 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     fh = writer._fh
     ri = 0
     n_ref = len(positions)
+    is_block = isinstance(lines, RefLineBlock)
+
+    def _line(i: int) -> str:
+        return lines.line(i) if is_block else lines[i]
 
     def _bulk_refs_upto(j: int) -> None:
         nonlocal ri
+        if is_block:
+            # single buffer-slice write: no per-line string objects
+            lines.write_range(fh, ri, j)
+            ri = max(ri, j)
+            return
         while j > ri:
             # chunked join: bounded peak memory on WGS-length runs
             k = min(j, ri + 262_144)
@@ -296,20 +307,20 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
             # keyed by its base (AlleleCaller.cs:172-176 sort)
             ref_key = None
             if keep_ref:
-                ref_base = lines[ri].split("\t", 4)[3]
+                ref_base = _line(ri).split("\t", 4)[3]
                 ref_key = (ref_base, ref_base)
             wrote_ref = False
             for a in at_pos:
                 if (ref_key is not None and not wrote_ref
                         and ref_key <= (a.ref_allele, a.alt_allele)):
-                    fh.write(lines[ri] + "\n")
+                    fh.write(_line(ri) + "\n")
                     wrote_ref = True
                 writer.write_colocated([a])
             if ref_key is not None and not wrote_ref:
-                fh.write(lines[ri] + "\n")
+                fh.write(_line(ri) + "\n")
         else:
             if keep_ref:
-                fh.write(lines[ri] + "\n")
+                fh.write(_line(ri) + "\n")
             writer.write_colocated(at_pos)
         if has_ref_line:
             ri += 1
@@ -375,10 +386,15 @@ def call_chromosome_windowed(options, chrom, reader, ref_id: int,
             alleles, ref_lines = result
             alleles = [a for a in alleles if w0 < a.position <= w1]
             if ref_lines is not None:
+                from pisces_tpu.calling.fast_gvcf import RefLineBlock
                 positions, lines = ref_lines
-                m = (positions > w0) & (positions <= w1)
-                ref_lines = (positions[m],
-                             [l for l, k in zip(lines, m) if k])
+                # window-interior positions form a contiguous run
+                lo = int(np.searchsorted(positions, w0 + 1))
+                hi = int(np.searchsorted(positions, w1, side="right"))
+                kept = (lines.slice(lo, hi)
+                        if isinstance(lines, RefLineBlock)
+                        else lines[lo:hi])
+                ref_lines = (positions[lo:hi], kept)
             yield (alleles, ref_lines), w0 + 1, w1
         else:
             yield ([a for a in result if w0 < a.position <= w1],

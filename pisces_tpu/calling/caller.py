@@ -548,25 +548,40 @@ class AlleleCaller:
             if (self._is_callable(a) and self._should_report(a)) or self._is_forced(a):
                 by_position.setdefault(a.position, []).append(a)
 
+        # somatic GT/GQ is elementwise per allele (SomaticGenotyper never
+        # prunes and has no cross-allele state), so one batched numpy pass
+        # over every locus replaces 1-allele-per-call dispatch; diploid
+        # models keep the per-locus path (multi-allelic pruning is
+        # locus-coupled)
+        batched_gt = (cfg.ploidy_model == PloidyModel.SOMATIC
+                      and bool(by_position))
+        if batched_gt:
+            flat = [a for pos in by_position for a in by_position[pos]
+                    if not a.is_forced_to_report]
+            if flat:
+                self._set_genotypes(flat)
         for pos in by_position:
             alleles_at_pos = by_position[pos]
-            self._compute_genotype_and_filter(alleles_at_pos)
+            self._compute_genotype_and_filter(alleles_at_pos,
+                                              gt_precomputed=batched_gt)
             self._locus_process(alleles_at_pos)
 
         return dict(sorted(by_position.items()))
 
-    def _compute_genotype_and_filter(self, alleles: List[CalledAllele]) -> None:
+    def _compute_genotype_and_filter(self, alleles: List[CalledAllele],
+                                     gt_precomputed: bool = False) -> None:
         """ComputeGenotypeAndFilterAllele (AlleleCaller.cs:143-180)."""
         if any(a.category != AlleleCategory.REFERENCE and not a.is_forced_to_report
                for a in alleles):
             alleles[:] = [a for a in alleles if a.category != AlleleCategory.REFERENCE]
 
-        to_prune = self._set_genotypes(
-            [a for a in alleles if not a.is_forced_to_report])
-        for p in to_prune:
-            key = (p.chromosome, p.position, p.ref_allele, p.alt_allele)
-            if key not in self.forced_alleles:
-                alleles.remove(p)
+        if not gt_precomputed:
+            to_prune = self._set_genotypes(
+                [a for a in alleles if not a.is_forced_to_report])
+            for p in to_prune:
+                key = (p.chromosome, p.position, p.ref_allele, p.alt_allele)
+                if key not in self.forced_alleles:
+                    alleles.remove(p)
 
         if self.config.low_gtq_filter is not None:
             for a in alleles:

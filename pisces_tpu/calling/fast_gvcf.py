@@ -287,9 +287,43 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
                         f"DP={total[i]}\tGT:GQ:AD:DP:VF\t"
                         f"{gt_s}:{gq[i]}:{support[i]}:{total[i]}:{vf_s}")
 
+    from pisces_tpu.io.native import render_reference_lines
+    rendered = render_reference_lines(chrom + "\t", positions, inv,
+                                      ref_base, tails)
+    if rendered is not None:
+        return RefLineBlock(rendered[0], rendered[1])
+
     pos_l = positions.tolist()
     inv_l = inv.tolist()
     base_l = ref_base.tobytes().decode("latin-1")
     prefix = chrom + "\t"
     return [f"{prefix}{p}\t.\t{b}{tails[v]}"
             for p, b, v in zip(pos_l, base_l, inv_l)]
+
+
+class RefLineBlock:
+    """Reference VCF lines as one rendered byte blob + [n+1] line offsets
+    (C++ render_ref_lines output): bulk runs write as single buffer slices
+    instead of n Python string objects."""
+
+    __slots__ = ("blob", "off")
+
+    def __init__(self, blob: bytes, off: np.ndarray):
+        self.blob = blob
+        self.off = off
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def line(self, i: int) -> str:
+        """Line i without its trailing newline."""
+        return self.blob[self.off[i]:self.off[i + 1] - 1].decode("latin-1")
+
+    def write_range(self, fh, i: int, j: int) -> None:
+        if j > i:
+            fh.write(self.blob[self.off[i]:self.off[j]].decode("latin-1"))
+
+    def slice(self, i: int, j: int) -> "RefLineBlock":
+        base = self.off[i]
+        return RefLineBlock(self.blob[base:self.off[j]],
+                            self.off[i:j + 1] - base)

@@ -464,6 +464,57 @@ const uint8_t* bam_col_tag_present(void* h) {
   return ((BamFile*)h)->tag_present.data();
 }
 
+// ---------------------------------------------------------------------------
+// Columnar gVCF reference-line rendering (fast_gvcf.format_reference_lines
+// hot tail: one line per covered locus; the QUAL..SAMPLE tail is memoized
+// per unique scoring tuple on the Python side and passed as a blob here)
+// ---------------------------------------------------------------------------
+
+namespace {
+struct RenderedLines {
+  std::string blob;               // all lines concatenated, incl. '\n'
+  std::vector<int64_t> line_off;  // [n+1] offsets into blob
+};
+}  // namespace
+
+extern "C" {
+
+// Build "<prefix><pos>\t.\t<base><tail>\n" per row. tails are indexed by
+// inv[i] into tails_blob via tail_off ([n_tails+1]). Returns an opaque
+// handle; read with rl_* accessors, release with rl_free.
+void* render_ref_lines(const char* prefix, int64_t prefix_len, int64_t n,
+                       const int64_t* pos, const int32_t* inv,
+                       const uint8_t* bases, const char* tails_blob,
+                       const int64_t* tail_off) {
+  auto* out = new RenderedLines();
+  out->line_off.reserve(n + 1);
+  out->line_off.push_back(0);
+  // estimate: prefix + 10-digit pos + 3 + 1 + avg tail 64
+  out->blob.reserve((size_t)n * (prefix_len + 78));
+  char digits[24];
+  for (int64_t i = 0; i < n; i++) {
+    out->blob.append(prefix, prefix_len);
+    int len = snprintf(digits, sizeof digits, "%lld", (long long)pos[i]);
+    out->blob.append(digits, len);
+    out->blob.append("\t.\t", 3);
+    out->blob.push_back((char)bases[i]);
+    int64_t t = inv[i];
+    out->blob.append(tails_blob + tail_off[t], tail_off[t + 1] - tail_off[t]);
+    out->blob.push_back('\n');
+    out->line_off.push_back((int64_t)out->blob.size());
+  }
+  return out;
+}
+
+int64_t rl_blob_len(void* h) { return (int64_t)((RenderedLines*)h)->blob.size(); }
+const char* rl_blob(void* h) { return ((RenderedLines*)h)->blob.data(); }
+const int64_t* rl_line_off(void* h) {
+  return ((RenderedLines*)h)->line_off.data();
+}
+void rl_free(void* h) { delete (RenderedLines*)h; }
+
+}  // extern "C"
+
 // Standalone BGZF helpers (gzip-compatible writer support)
 int64_t bgzf_decompress_size(const uint8_t* data, int64_t n) {
   std::vector<BgzfBlock> blocks;
@@ -660,8 +711,16 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
                       const int8_t* ref_codes, int64_t ref_len,
                       int track_open_ended) {
   auto* bf = (BamFile*)h;
-  bf->pileup = std::make_unique<PileupResult>();
+  // reuse the handle's result buffers across calls: .assign() below keeps
+  // the existing allocations, so repeat pileups memset warm pages instead
+  // of faulting ~30k fresh pages per call (the dense dual tensors are
+  // ~130 MB at WES shapes; fault cost dominated round-3 profiles)
+  if (!bf->pileup) bf->pileup = std::make_unique<PileupResult>();
   auto& res = *bf->pileup;
+  res.mm_gpos.clear();
+  res.mm_alt.clear();
+  res.mm_dir.clear();
+  res.mm_flags.clear();
 
   size_t n = bf->ref_id.size();
   const int A = anchor_size;

@@ -387,6 +387,58 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
 # Parallel BGZF compression (BamWriterMultithreaded counterpart)
 # ---------------------------------------------------------------------------
 
+def _bind_render(lib) -> None:
+    if getattr(lib, "_render_bound", False):
+        return
+    lib.render_ref_lines.restype = ctypes.c_void_p
+    lib.render_ref_lines.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.rl_blob_len.restype = ctypes.c_int64
+    lib.rl_blob_len.argtypes = [ctypes.c_void_p]
+    lib.rl_blob.restype = ctypes.c_void_p
+    lib.rl_blob.argtypes = [ctypes.c_void_p]
+    lib.rl_line_off.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.rl_line_off.argtypes = [ctypes.c_void_p]
+    lib.rl_free.argtypes = [ctypes.c_void_p]
+    lib._render_bound = True
+
+
+def render_reference_lines(prefix: str, positions: np.ndarray,
+                           inv: np.ndarray, bases: np.ndarray,
+                           tails: list):
+    """C++ rendering of per-locus gVCF reference lines: one blob + [n+1]
+    line offsets (fast_gvcf.format_reference_lines hot tail). Returns
+    (blob_bytes, offsets) or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_render(lib)
+    n = len(positions)
+    pos = np.ascontiguousarray(positions, dtype=np.int64)
+    inv_c = np.ascontiguousarray(inv, dtype=np.int32)
+    bases_c = np.ascontiguousarray(bases, dtype=np.uint8)
+    tail_bytes = [t.encode("latin-1") for t in tails]
+    tails_blob = b"".join(tail_bytes)
+    tail_off = np.zeros(len(tails) + 1, np.int64)
+    np.cumsum([len(t) for t in tail_bytes], out=tail_off[1:])
+    tail_off_c = np.ascontiguousarray(tail_off)
+    p = prefix.encode("latin-1")
+    h = lib.render_ref_lines(
+        p, len(p), n, pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        inv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bases_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tails_blob, tail_off_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    try:
+        blob = ctypes.string_at(lib.rl_blob(h), lib.rl_blob_len(h))
+        offsets = _as_array(lib.rl_line_off(h), n + 1, np.int64)
+    finally:
+        lib.rl_free(h)
+    return blob, offsets
+
+
 def _bind_bgzfc(lib) -> None:
     if getattr(lib, "_bgzfc_bound", False):
         return
