@@ -374,15 +374,22 @@ def _stage_main(stage: str) -> None:
         print(f"STAGE end-to-end: {e2e_reads:,.0f} reads/s, {e2e_loci:,.0f} "
               f"gvcf loci/s (single thread, {backend} scoring)", flush=True)
     elif stage == "wes":
-        wes_reads, wes_loci, wes_wall = bench_end_to_end_wes(
-            use_device=use_device)
+        host_r, host_l, host_w = bench_end_to_end_wes(use_device=False)
         print(f"STAGE WES-scale e2e (4 chrom, 160k reads, planted variants, "
-              f"4 threads, {backend} scoring): {wes_wall:.1f}s wall = "
-              f"{wes_reads:,.0f} reads/s, {wes_loci:,.0f} gvcf loci/s. "
+              f"4 threads, host scoring): {host_w:.1f}s wall = "
+              f"{host_r:,.0f} reads/s, {host_l:,.0f} gvcf loci/s. "
               f"NOTE: no dotnet runtime in this environment; BASELINE.md's "
               f">=10x-vs-dotnet target is tracked via this committed "
               f"per-round trend (BENCH_r*.json), with the byte-parity suite "
               f"pinning output equivalence.", flush=True)
+        if use_device:
+            wes_reads, wes_loci, wes_wall = bench_end_to_end_wes(
+                use_device=True)
+            print(f"STAGE WES-scale e2e ({backend} scoring; over the axon "
+                  f"tunnel device dispatch pays ~40ms RTT per batch, so "
+                  f"host wins here — locally-attached chips invert this): "
+                  f"{wes_wall:.1f}s wall = {wes_reads:,.0f} reads/s",
+                  flush=True)
     elif stage == "real":
         for name, n_reads, dt, n_lines in bench_real_bams(
                 use_device=use_device):

@@ -87,7 +87,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     from pisces_tpu.io.native import NativeBamReader, native_pileup
     mesh_mode = options.mesh_devices > 1
     mesh_events = None
-    native_flow = (isinstance(bam, NativeBamReader)
+    # the native handle may sit behind a _RegionView (windowed streaming)
+    native_reader = bam if isinstance(bam, NativeBamReader) \
+        else getattr(bam, "_reader", None)
+    if not isinstance(native_reader, NativeBamReader):
+        native_reader = None
+    native_flow = (native_reader is not None
                    and getattr(batch, "_from_native_handle", False)
                    and not options.call_mnvs and not track_amplicons
                    and batch.extra_tags is None
@@ -107,7 +112,8 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         if base_dirs is not None:
             base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
         with metrics.stage("pileup"):
-            pc, mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
+            pc, mm = native_pileup(native_reader, keep,
+                                   bf.minimum_base_call_quality,
                                    options.tracked_anchor_size, 1000,
                                    anchor_positions, base_dirs,
                                    ref_codes=BASE_TO_ALLELE[chrom.sequence],
@@ -124,11 +130,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             track_open_ended=options.collapse,
             track_amplicons=track_amplicons)
         anchor_positions = candidate_anchor_positions(candidates)
-        if isinstance(bam, NativeBamReader) and getattr(
+        if native_reader is not None and getattr(
                 batch, "_from_native_handle", False) and not mesh_mode:
             if base_dirs is not None:
                 base_dirs = np.ascontiguousarray(base_dirs, dtype=np.int8)
-            pc, _mm = native_pileup(bam, keep, bf.minimum_base_call_quality,
+            pc, _mm = native_pileup(native_reader, keep,
+                                    bf.minimum_base_call_quality,
                                     options.tracked_anchor_size,
                                     1000, anchor_positions, base_dirs)
         else:
@@ -485,9 +492,11 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
             fast_eligible = _fast_gvcf_eligible(options, forced_alleles)
             win_ok = intervals is None or not gvcf or fast_eligible
             if options.window_size > 0 and win_ok:
-                from pisces_tpu.io.bam import BamReader as PyBamReader
                 if os.path.exists(bam_path + ".bai"):
-                    lazy = PyBamReader(bam_path, lazy=True)
+                    # native lazy reader: per-window .bai chunks inflate in
+                    # C++ and the overlap filter runs there too, keeping
+                    # the native pileup path live under windowed streaming
+                    lazy = open_bam(bam_path, lazy=True)
                     rid = lazy.header.ref_index(chrom_name)
                     windowed = True
                     alleles_all = []

@@ -126,6 +126,12 @@ struct BamFile {
   size_t records_start = 0;
   // record index
   std::vector<size_t> rec_offsets;
+  // lazy mode (bam_open_lazy): compressed bytes + block table retained so
+  // bam_fetch_region can inflate only the .bai-indexed chunks of a window
+  // (the BamReader.Jump analog at native speed, BamReader.cs:22-677)
+  bool lazy = false;
+  std::vector<uint8_t> raw;
+  std::vector<BgzfBlock> blocks;
 
   // decoded columnar batch (for the last decode call)
   std::vector<int32_t> ref_id, pos, end_pos;
@@ -154,6 +160,35 @@ int32_t rd_i32(const uint8_t* p) {
   int32_t v;
   memcpy(&v, p, 4);
   return v;
+}
+
+// Parse the BAM header (magic, text, reference dictionary) from the
+// inflated prefix in bf->udata; fills text/ref_names/ref_lens and
+// records_start. Returns false when the prefix is too short.
+bool parse_bam_header(BamFile* bf) {
+  const uint8_t* d = bf->udata.data();
+  size_t n = bf->udata.size();
+  if (n < 12 || memcmp(d, "BAM\x01", 4) != 0) return false;
+  int32_t l_text = rd_i32(d + 4);
+  if ((size_t)8 + l_text + 4 > n) return false;
+  size_t off = 8 + l_text;
+  int32_t n_ref = rd_i32(d + off);
+  off += 4;
+  std::vector<std::string> names;
+  std::vector<int32_t> lens;
+  for (int i = 0; i < n_ref; i++) {
+    if (off + 4 > n) return false;
+    int32_t l_name = rd_i32(d + off);
+    if (off + 8 + l_name > n) return false;
+    names.emplace_back((const char*)d + off + 4, l_name - 1);
+    lens.push_back(rd_i32(d + off + 4 + l_name));
+    off += 8 + l_name;
+  }
+  bf->text.assign((const char*)d + 8, l_text);
+  bf->ref_names = std::move(names);
+  bf->ref_lens = std::move(lens);
+  bf->records_start = off;
+  return true;
 }
 uint32_t rd_u32(const uint8_t* p) {
   uint32_t v;
@@ -217,24 +252,13 @@ void* bam_open(const char* path, int n_threads) {
     }
   }
 
-  const uint8_t* d = bf->udata.data();
-  size_t n = bf->udata.size();
-  if (n < 12 || memcmp(d, "BAM\x01", 4) != 0) {
+  if (!parse_bam_header(bf)) {
     delete bf;
     return nullptr;
   }
-  int32_t l_text = rd_i32(d + 4);
-  bf->text.assign((const char*)d + 8, l_text);
-  size_t off = 8 + l_text;
-  int32_t n_ref = rd_i32(d + off);
-  off += 4;
-  for (int i = 0; i < n_ref; i++) {
-    int32_t l_name = rd_i32(d + off);
-    bf->ref_names.emplace_back((const char*)d + off + 4, l_name - 1);
-    bf->ref_lens.push_back(rd_i32(d + off + 4 + l_name));
-    off += 8 + l_name;
-  }
-  bf->records_start = off;
+  const uint8_t* d = bf->udata.data();
+  size_t n = bf->udata.size();
+  size_t off = bf->records_start;
   while (off + 4 <= n) {
     int32_t bs = rd_i32(d + off);
     if (bs <= 0 || off + 4 + bs > n) break;
@@ -242,6 +266,141 @@ void* bam_open(const char* path, int n_threads) {
     off += 4 + bs;
   }
   return bf;
+}
+
+// Lazy open (the .bai jump path): read + block-scan the compressed file,
+// inflate only the prefix needed for the header; bam_fetch_region later
+// inflates just the indexed chunks of each window.
+void* bam_open_lazy(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  auto* bf = new BamFile();
+  bf->lazy = true;
+  bf->raw.resize(fsize);
+  if (fread(bf->raw.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    delete bf;
+    return nullptr;
+  }
+  fclose(f);
+  size_t total = 0;
+  if (!scan_blocks(bf->raw.data(), bf->raw.size(), &bf->blocks, &total)) {
+    delete bf;
+    return nullptr;
+  }
+  // inflate leading blocks until the header parses
+  for (size_t i = 0; i < bf->blocks.size(); i++) {
+    const auto& b = bf->blocks[i];
+    size_t base = bf->udata.size();
+    bf->udata.resize(base + b.isize);
+    if (!inflate_block(bf->raw.data() + b.cdata_off, b.cdata_len,
+                       bf->udata.data() + base, b.isize)) {
+      delete bf;
+      return nullptr;
+    }
+    if (parse_bam_header(bf)) return bf;
+  }
+  delete bf;
+  return nullptr;
+}
+
+// Materialize the records overlapping [beg0, end0) on ref_id whose bytes
+// live in the given .bai chunk ranges (virtual offsets, merged/disjoint,
+// from the Python-side index query). Inflates only the touched BGZF
+// blocks, applies the FULL overlap filter (rid match, pos < end0,
+// alignment end >= beg0) so the handle's decoded state stays 1:1 with the
+// returned batch (native pileup depends on that). Follow with
+// bam_decode_tags. Returns the number of selected records, or -1.
+int64_t bam_fetch_region(void* h, int want_ref_id, int64_t beg0, int64_t end0,
+                         const uint64_t* chunk_begs,
+                         const uint64_t* chunk_ends, int64_t n_chunks) {
+  auto* bf = (BamFile*)h;
+  if (!bf->lazy) return -1;
+  bf->udata.clear();
+  bf->rec_offsets.clear();
+
+  const auto& blocks = bf->blocks;
+  auto block_of = [&](uint64_t file_off) -> int64_t {
+    // bsearch blocks by file_off
+    int64_t lo = 0, hi = (int64_t)blocks.size() - 1, ans = -1;
+    while (lo <= hi) {
+      int64_t mid = (lo + hi) / 2;
+      if ((uint64_t)blocks[mid].file_off <= file_off) {
+        ans = mid;
+        lo = mid + 1;
+      } else {
+        hi = mid - 1;
+      }
+    }
+    return ans;
+  };
+
+  for (int64_t c = 0; c < n_chunks; c++) {
+    uint64_t vbeg = chunk_begs[c], vend = chunk_ends[c];
+    int64_t b0 = block_of(vbeg >> 16);
+    int64_t b1 = block_of(vend >> 16);
+    if (b0 < 0) continue;
+    if (b1 < 0) b1 = (int64_t)blocks.size() - 1;
+    if ((vend & 0xFFFF) == 0 && b1 > b0
+        && (uint64_t)blocks[b1].file_off == (vend >> 16))
+      b1--;  // chunk ends exactly at a block boundary
+    // inflate the run [b0..b1] contiguously
+    size_t run_base = bf->udata.size();
+    std::vector<size_t> iso(b1 - b0 + 2, 0);  // prefix isizes within run
+    size_t run_len = 0;
+    for (int64_t j = b0; j <= b1; j++) {
+      iso[j - b0] = run_len;
+      run_len += blocks[j].isize;
+    }
+    iso[b1 - b0 + 1] = run_len;
+    bf->udata.resize(run_base + run_len);
+    for (int64_t j = b0; j <= b1; j++) {
+      if (!inflate_block(bf->raw.data() + blocks[j].cdata_off,
+                         blocks[j].cdata_len,
+                         bf->udata.data() + run_base + iso[j - b0],
+                         blocks[j].isize))
+        return -1;
+    }
+    // walk records from the chunk's start voff to its end voff
+    size_t p = run_base + ((vbeg >> 16) == (uint64_t)blocks[b0].file_off
+                               ? (vbeg & 0xFFFF)
+                               : 0);
+    size_t run_end = run_base + run_len;
+    const uint8_t* d = bf->udata.data();
+    while (p + 4 <= run_end) {
+      // virtual offset of the record at p
+      size_t local = p - run_base;
+      int64_t j = b0;
+      while (j < b1 && iso[j - b0 + 1] <= local) j++;
+      uint64_t voff = ((uint64_t)blocks[j].file_off << 16)
+                      | (uint64_t)(local - iso[j - b0]);
+      if (voff >= vend) break;
+      int32_t bs = rd_i32(d + p);
+      if (bs <= 0 || p + 4 + (size_t)bs > run_end) break;
+      const uint8_t* r = d + p + 4;
+      int32_t rid = rd_i32(r);
+      int32_t pos0 = rd_i32(r + 4);
+      if (rid == want_ref_id && pos0 < end0) {
+        // alignment end from the CIGAR's reference-consuming ops
+        uint16_t n_cigar = rd_u16(r + 12);
+        uint8_t l_read_name = r[8];
+        const uint8_t* cp = r + 32 + l_read_name;
+        int64_t ref_span = 0;
+        for (int k = 0; k < n_cigar; k++) {
+          uint32_t cv = rd_u32(cp + 4 * k);
+          uint8_t op = cv & 0xF;
+          if (op < 9 && kConsumesRef[op]) ref_span += cv >> 4;
+        }
+        int64_t end_pos0 = pos0 + (ref_span > 0 ? ref_span : 1) - 1;
+        if (end_pos0 >= beg0) bf->rec_offsets.push_back(p);
+      }
+      p += 4 + bs;
+    }
+  }
+  return (int64_t)bf->rec_offsets.size();
 }
 
 void bam_close(void* h) { delete (BamFile*)h; }

@@ -77,6 +77,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def _bind_lazy(lib) -> None:
+    if getattr(lib, "_lazy_bound", False):
+        return
+    lib.bam_open_lazy.restype = ctypes.c_void_p
+    lib.bam_open_lazy.argtypes = [ctypes.c_char_p]
+    lib.bam_fetch_region.restype = ctypes.c_int64
+    lib.bam_fetch_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64]
+    lib._lazy_bound = True
+
+
 def _bind_tags(lib) -> None:
     """Bind the typed-tag decode exports (TagUtils analog columns)."""
     if getattr(lib, "_tags_bound", False):
@@ -128,16 +141,27 @@ def _as_view(ptr, n, dtype):
 
 
 class NativeBamReader:
-    """Native counterpart of io.bam.BamReader with the same fetch() contract."""
+    """Native counterpart of io.bam.BamReader with the same fetch() contract.
 
-    def __init__(self, path: str, n_threads: int = 0):
+    lazy=True keeps the file compressed and serves fetch_region() through
+    the .bai index, inflating only the touched BGZF blocks per window (the
+    BamReader.Jump analog, Alignment.IO/BamReader.cs:22-677) — the
+    bounded-memory WGS streaming mode."""
+
+    def __init__(self, path: str, n_threads: int = 0, lazy: bool = False):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native io library unavailable")
         self._lib = lib
+        self._lazy = lazy
+        self._bai = None
         if n_threads <= 0:
             n_threads = min(os.cpu_count() or 1, 16)
-        self._h = lib.bam_open(path.encode(), n_threads)
+        if lazy:
+            _bind_lazy(lib)
+            self._h = lib.bam_open_lazy(path.encode())
+        else:
+            self._h = lib.bam_open(path.encode(), n_threads)
         if not self._h:
             raise IOError(f"failed to open {path}")
         from pisces_tpu.io.bam import BamHeader
@@ -257,6 +281,40 @@ class NativeBamReader:
         batch._from_native_handle = True
         return batch
 
+    def fetch_region(self, ref_id: int, beg0: int, end0: int,
+                     parse_tags: bool = False, parse_names: bool = False):
+        """Reads overlapping [beg0, end0) (0-based half-open) via the .bai
+        index: only the indexed BGZF chunks inflate, and the overlap filter
+        runs in C++ so the handle's decoded state stays 1:1 with the batch
+        (native pileup depends on that)."""
+        if not self._lazy:
+            from pisces_tpu.io.bam import subset_batch
+            batch = self.fetch(ref_id, parse_names, parse_tags)
+            mask = (batch.pos < end0) & (batch.end_pos >= beg0)
+            return subset_batch(batch, mask)
+        if self._bai is None:
+            from pisces_tpu.io import bai
+            p = self.path + ".bai"
+            self._bai = bai.read_bai(p) if os.path.exists(p) else False
+        if self._bai is False:
+            raise IOError(f"{self.path}: lazy region fetch needs a .bai")
+        chunks = self._bai.query(ref_id, beg0, end0)
+        begs = np.ascontiguousarray(
+            np.array([c[0] for c in chunks], dtype=np.uint64))
+        ends = np.ascontiguousarray(
+            np.array([c[1] for c in chunks], dtype=np.uint64))
+        lib = self._lib
+        n = lib.bam_fetch_region(
+            self._h, ref_id, beg0, end0,
+            begs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(chunks))
+        if n < 0:
+            raise IOError(f"{self.path}: native region fetch failed")
+        batch = self._fetch_impl(ref_id, parse_names, parse_tags)
+        batch._from_native_handle = True
+        return batch
+
     def close(self):
         if self._h:
             self._lib.bam_close(self._h)
@@ -269,15 +327,15 @@ class NativeBamReader:
             pass
 
 
-def open_bam(path: str, prefer_native: bool = True):
+def open_bam(path: str, prefer_native: bool = True, lazy: bool = False):
     """Open a BAM with the native reader when available, else Python."""
     if prefer_native and get_lib() is not None:
         try:
-            return NativeBamReader(path)
+            return NativeBamReader(path, lazy=lazy)
         except (IOError, RuntimeError):
             pass
     from pisces_tpu.io.bam import BamReader
-    return BamReader(path)
+    return BamReader(path, lazy=lazy)
 
 
 def _bind_pileup(lib):

@@ -196,3 +196,26 @@ def test_native_tag_decode_matches_python(name):
     assert b1.xd_tags == b2.xd_tags
     assert b1.xn_tags == b2.xn_tags
     assert b1.extra_tags == b2.extra_tags
+
+
+@pytest.mark.parametrize("name", ["Chr17Chr19.bam", "Bcereus_S4.bam"])
+def test_native_lazy_region_fetch_matches_python(name):
+    """Lazy .bai region fetch (C++ chunk inflate + overlap filter) returns
+    exactly the Python lazy reader's region batch."""
+    path = conftest.shared_bam(name)
+    nb = native.NativeBamReader(path, lazy=True)
+    pb = BamReader(path, lazy=True)
+    length = pb.header.ref_lengths[0]
+    for rid in range(len(pb.header.ref_names)):
+        for beg, end in ((0, 1000), (1000, 5000), (0, length),
+                         (length // 2, length // 2 + 2500)):
+            b1 = nb.fetch_region(rid, beg, end, parse_tags=True)
+            b2 = pb.fetch_region(rid, beg, end, parse_tags=True)
+            assert b1.n == b2.n, (name, rid, beg, end)
+            for f in ("ref_id", "pos", "end_pos", "mapq", "flag",
+                      "cigar_ops", "cigar_lens", "seq", "qual"):
+                np.testing.assert_array_equal(
+                    getattr(b1, f), getattr(b2, f),
+                    err_msg=f"{name}:{rid}:{beg}-{end}:{f}")
+            assert b1.xd_tags == b2.xd_tags
+            assert b1.extra_tags == b2.extra_tags
