@@ -36,17 +36,21 @@ def _fast_gvcf_eligible(options: PiscesApplicationOptions,
                         forced_alleles) -> bool:
     """Whether the columnar fast-gVCF reference path applies.
 
-    The fused kernel implements SOMATIC ref-line GT/GQ, so diploid/haploid
-    ploidy goes through the object path; MNV mode and collapsed-count
-    reporting need per-candidate objects; crushed loci with forced alleles
-    need the colocated writer to merge ref+forced lines."""
+    The fused device kernel implements SOMATIC ref-line GT/GQ; diploid
+    thresholding routes through a vectorized f64 host twin
+    (fast_gvcf._score_host_tuples_diploid); haploid and adaptive ploidy go
+    through the object path. MNV mode and collapsed-count reporting need
+    per-candidate objects; crushed loci with forced alleles need the
+    colocated writer to merge ref+forced lines; a LowGQ filter threshold
+    needs the per-allele filter pass."""
     from pisces_tpu.domain.types import PloidyModel as _PM
+    v = options.variant_calling_parameters
     return (options.vcf_writing_parameters.output_gvcf_file
             and options.use_fast_gvcf
             and not options.call_mnvs
             and not options.vcf_writing_parameters.report_rc_counts
-            and (options.variant_calling_parameters.ploidy_model
-                 == _PM.SOMATIC)
+            and v.ploidy_model in (_PM.SOMATIC, _PM.DIPLOID_BY_THRESHOLDING)
+            and v.low_genotype_quality_filter is None
             and (options.vcf_writing_parameters
                  .allow_multiple_vcf_lines_per_loci
                  or not forced_alleles))
@@ -225,8 +229,13 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             max_gq=v.maximum_genotype_qscore,
             sb_acceptance=v.strand_bias_acceptance_criteria,
             no_call_filter=v.no_call_filter_threshold)
+        from pisces_tpu.domain.types import PloidyModel as _PM
+        diploid_params = (v.diploid_snv_thresholding_parameters
+                          if v.ploidy_model == _PM.DIPLOID_BY_THRESHOLDING
+                          else None)
         with metrics.stage("gvcf_scoring"):
-            if mesh_mode and mesh_events is not None:
+            if (mesh_mode and mesh_events is not None
+                    and diploid_params is None):
                 from pisces_tpu.parallel.sharding import (
                     get_mesh, sharded_score_reference_positions,
                 )
@@ -239,11 +248,21 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             else:
                 positions, scored = score_reference_positions(
                     pc, chrom.sequence, params, use_device=use_device,
-                    intervals=intervals)
+                    intervals=intervals, diploid_snv_params=diploid_params)
         metrics.count("loci_scored", len(positions))
         if use_device:
             metrics.device_watermark()
         if scored is not None:
+            # loci whose ref allele was suppressed by a coexisting variant
+            # that genotyping later pruned entirely (diploid sub-threshold
+            # case) emit NOTHING — mirror the object path's locus pruning
+            suppressed = caller.ref_suppressed_positions - {
+                p for p, lst in by_position.items() if lst}
+            if suppressed:
+                m = ~np.isin(positions, np.fromiter(suppressed, np.int64))
+                positions = positions[m]
+                scored["inv"] = scored["inv"][m]
+                scored["ref_base"] = scored["ref_base"][m]
             wcfg = VcfWriterConfig(options)
             with metrics.stage("gvcf_formatting"):
                 ref_lines = (positions, format_reference_lines(

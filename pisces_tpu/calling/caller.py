@@ -157,6 +157,10 @@ class AlleleCaller:
         self.read_summaries = read_summaries
         self.forced_alleles: set = set()
         self.total_num_called = 0
+        # loci whose reference allele was suppressed by a coexisting
+        # variant (even one later pruned by genotyping) — consumed by the
+        # fast-gVCF splice
+        self.ref_suppressed_positions: set = set()
 
     @property
     def total_num_collapsed(self) -> int:
@@ -573,6 +577,11 @@ class AlleleCaller:
         """ComputeGenotypeAndFilterAllele (AlleleCaller.cs:143-180)."""
         if any(a.category != AlleleCategory.REFERENCE and not a.is_forced_to_report
                for a in alleles):
+            # the locus's reference allele is suppressed even if genotyping
+            # later prunes every variant here (diploid sub-threshold case):
+            # record it so the fast-gVCF splice drops the ref line too
+            if alleles:
+                self.ref_suppressed_positions.add(alleles[0].position)
             alleles[:] = [a for a in alleles if a.category != AlleleCategory.REFERENCE]
 
         if not gt_precomputed:

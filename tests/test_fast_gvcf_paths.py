@@ -106,10 +106,10 @@ class TestFastPathParity:
         assert host == dev
 
 
-def test_diploid_gvcf_not_fast_pathed(tmp_path):
-    """Diploid ref-line GT/GQ math differs from the somatic kernel: the
-    fast path must decline (regression for a real mismatch where diploid
-    gVCF ref lines got somatic genotyping when fast-pathed)."""
+def test_fast_gvcf_eligibility_rules():
+    """Fast-path dispatch: somatic and diploid-thresholding qualify (the
+    diploid ref math runs through the vectorized host twin); adaptive
+    ploidy and a LowGQ filter threshold fall back to the object path."""
     from pisces_tpu.apps.pisces import _fast_gvcf_eligible
     from pisces_tpu.domain.types import PloidyModel
 
@@ -120,19 +120,80 @@ def test_diploid_gvcf_not_fast_pathed(tmp_path):
     o.variant_calling_parameters.ploidy_model = \
         PloidyModel.DIPLOID_BY_THRESHOLDING
     o.validate()
+    assert _fast_gvcf_eligible(o, None)
+    o.variant_calling_parameters.low_genotype_quality_filter = 20
+    assert not _fast_gvcf_eligible(o, None)
+    o.variant_calling_parameters.low_genotype_quality_filter = None
+    o.variant_calling_parameters.ploidy_model = \
+        PloidyModel.DIPLOID_BY_ADAPTIVE_GT
     assert not _fast_gvcf_eligible(o, None)
 
-    def run(sub, fast):
+
+class TestDiploidFastPath:
+    """Diploid-thresholding gVCF reference lines through the columnar fast
+    path (vectorized DiploidThresholdingGenotyper ref rules + hom-ref GQ
+    likelihood ratio) must be byte-identical to the object path."""
+
+    def _run(self, tmp_path, sub, fast: bool, intervals_text=None):
+        from pisces_tpu.domain.types import PloidyModel
         d = tmp_path / sub
         d.mkdir()
-        opts = PiscesApplicationOptions()
-        opts.output_directory = str(d)
-        opts.vcf_writing_parameters.output_gvcf_file = True
-        opts.variant_calling_parameters.ploidy_model = \
+        o = PiscesApplicationOptions()
+        o.output_directory = str(d)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        o.variant_calling_parameters.ploidy_model = \
             PloidyModel.DIPLOID_BY_THRESHOLDING
-        opts.use_fast_gvcf = fast
+        o.use_fast_gvcf = fast
+        if intervals_text:
+            ipath = os.path.join(str(d), "i.picard")
+            with open(ipath, "w") as f:
+                f.write(intervals_text)
+            o.interval_paths = [ipath]
         genome = Genome(conftest.shared_genome("chr19"))
-        out = process_bam(opts, BAM, genome, use_device=False)
+        out = process_bam(o, BAM, genome, use_device=False)
         return [l for l in open(out) if not l.startswith("##")]
 
-    assert run("fast", True) == run("slow", False)
+    def test_fast_equals_object(self, tmp_path):
+        fast = self._run(tmp_path, "fast", True)
+        slow = self._run(tmp_path, "slow", False)
+        assert fast == slow
+        gts = {l.split("\t")[9].split(":")[0] for l in fast
+               if not l.startswith("#") and l.split("\t")[4] == "."}
+        assert "0/0" in gts
+
+    def test_fast_equals_object_with_intervals(self, tmp_path):
+        iv = INTERVALS
+        fast = self._run(tmp_path, "fasti", True, intervals_text=iv)
+        slow = self._run(tmp_path, "slowi", False, intervals_text=iv)
+        assert fast == slow
+        # the zero-coverage interval padding exercises the no-call GT
+        gts = {l.split("\t")[9].split(":")[0] for l in fast
+               if not l.startswith("#") and l.split("\t")[4] == "."}
+        assert "./." in gts and "0/0" in gts
+
+    def test_fast_equals_object_with_subthreshold_variants(self, tmp_path):
+        """A locus where a sub-MinorVF variant coexists with the reference
+        emits NOTHING in diploid mode (genotyping prunes the variant, the
+        variant's presence suppresses the ref line): the fast path must
+        reproduce that locus-level pruning (caller.ref_suppressed_positions
+        feeds the splice)."""
+        import hashlib
+        import bench
+        from pisces_tpu.domain.types import PloidyModel
+
+        bam, gdir = bench._write_synthetic_workload(
+            str(tmp_path / "wl"), n_chroms=1, chrom_len=120_000,
+            n_reads=10_000, variant_rate=0.01)
+        genome = Genome(gdir)
+        lines = {}
+        for fast in (False, True):
+            o = PiscesApplicationOptions()
+            o.output_directory = str(tmp_path / f"d{fast}")
+            os.makedirs(o.output_directory, exist_ok=True)
+            o.vcf_writing_parameters.output_gvcf_file = True
+            o.variant_calling_parameters.ploidy_model = \
+                PloidyModel.DIPLOID_BY_THRESHOLDING
+            o.use_fast_gvcf = fast
+            out = process_bam(o, bam, genome, use_device=False)
+            lines[fast] = [l for l in open(out) if not l.startswith("##")]
+        assert lines[True] == lines[False]
