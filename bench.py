@@ -396,6 +396,27 @@ def _stage_main(stage: str) -> None:
             print(f"STAGE real-data e2e {name}: {n_reads:,} reads in "
                   f"{dt:.2f}s = {n_reads / dt:,.0f} reads/s, {n_lines} vcf "
                   f"lines ({backend} scoring)", flush=True)
+    elif stage == "gemini":
+        import shutil
+
+        from pisces_tpu.io.bam import BamReader
+        from pisces_tpu.preprocessing.gemini import run_gemini
+
+        src = os.path.join(SHARED_BAMS, "Chr17Chr19.bam")
+        gdir = os.path.join(SHARED_GENOMES, "chr19")
+        tmp = "/tmp/pisces_tpu_bench_gemini"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        bam = os.path.join(tmp, "in.bam")
+        shutil.copy(src, bam)
+        n_reads = BamReader(bam).fetch(None).n
+        t0 = time.perf_counter()
+        out = run_gemini(bam, gdir, os.path.join(tmp, "out.bam"))
+        dt = time.perf_counter() - t0
+        n_out = BamReader(out).fetch(None).n
+        print(f"STAGE gemini preprocess (stitch+realign, real "
+              f"Chr17Chr19.bam): {n_reads:,} reads in {dt:.2f}s = "
+              f"{n_reads / dt:,.0f} reads/s, {n_out:,} reads out", flush=True)
     elif stage == "candidates":
         rate = bench_candidates()
         print(f"STAGE candidate-path kernel: {rate:,.0f} candidates/s/chip "
@@ -444,8 +465,9 @@ def main():
         "backend": backend,
     }), flush=True)
 
-    for stage, timeout_s in [("e2e", 240), ("wes", 240), ("real", 240),
-                             ("candidates", 180), ("pallas", 240)]:
+    for stage, timeout_s in [("e2e", 240), ("wes", 300), ("real", 240),
+                             ("gemini", 180), ("candidates", 180),
+                             ("pallas", 240)]:
         _run_stage(stage, timeout_s)
 
 

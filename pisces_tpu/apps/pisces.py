@@ -177,7 +177,16 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             fc.is_forced = True
             candidates.append(fc)
 
-    fast_gvcf = _fast_gvcf_eligible(options, forced_alleles)
+    # effective ploidy is per chromosome (chrM always somatic; sex
+    # chromosomes go haploid with -gender — GenotypeCreator
+    # .GetPloidyForThisChr); only somatic/diploid ref rules are columnar
+    from pisces_tpu.domain.types import PloidyModel as _PM
+    from pisces_tpu.genotype import get_ploidy_for_chr
+    _v = options.variant_calling_parameters
+    eff_ploidy = get_ploidy_for_chr(_v.ploidy_model, _v.is_male, chrom.name)
+    fast_gvcf = (_fast_gvcf_eligible(options, forced_alleles)
+                 and eff_ploidy in (_PM.SOMATIC,
+                                    _PM.DIPLOID_BY_THRESHOLDING))
     if options.vcf_writing_parameters.output_gvcf_file and not fast_gvcf:
         candidates = candidates + make_reference_candidates(
             chrom.name, chrom.sequence, pc, intervals)
@@ -229,9 +238,8 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
             max_gq=v.maximum_genotype_qscore,
             sb_acceptance=v.strand_bias_acceptance_criteria,
             no_call_filter=v.no_call_filter_threshold)
-        from pisces_tpu.domain.types import PloidyModel as _PM
         diploid_params = (v.diploid_snv_thresholding_parameters
-                          if v.ploidy_model == _PM.DIPLOID_BY_THRESHOLDING
+                          if eff_ploidy == _PM.DIPLOID_BY_THRESHOLDING
                           else None)
         with metrics.stage("gvcf_scoring"):
             if (mesh_mode and mesh_events is not None

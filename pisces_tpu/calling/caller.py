@@ -83,6 +83,9 @@ class CallerConfig:
     # >1: candidate batches shard over the (dp, sp) device mesh
     # (parallel/sharding.sharded_score_snv_tuples) instead of one device
     mesh_devices: int = 0
+    # -gender: drives per-chromosome ploidy dispatch (sex chromosomes go
+    # haploid, GenotypeCreator.GetPloidyForThisChr)
+    is_male: Optional[bool] = None
     # per-allele strand-bias component tables (forward/reverse/overall
     # ChanceFalsePos etc.) are only materialized when the bias side files
     # are requested (StrandBiasFileWriter columns)
@@ -117,6 +120,7 @@ class CallerConfig:
             device_batch_threshold=int(os.environ.get(
                 "PISCES_DEVICE_BATCH_THRESHOLD", "4096")),
             mesh_devices=options.mesh_devices,
+            is_male=v.is_male,
             ploidy_model=v.ploidy_model,
             min_frequency_filter=max(v.minimum_frequency_filter, v.minimum_frequency),
             target_lod_frequency=max(v.target_lod_frequency,
@@ -501,7 +505,8 @@ class AlleleCaller:
     def _set_genotypes(self, alleles: List[CalledAllele]) -> List[CalledAllele]:
         from pisces_tpu.genotype import create_genotype_calculator
         calc = create_genotype_calculator(self.config, alleles[0].chromosome
-                                          if alleles else None)
+                                          if alleles else None,
+                                          is_male=self.config.is_male)
         return calc.set_genotypes(alleles)
 
     # -- main entry -----------------------------------------------------------

@@ -197,3 +197,40 @@ class TestDiploidFastPath:
             out = process_bam(o, bam, genome, use_device=False)
             lines[fast] = [l for l in open(out) if not l.startswith("##")]
         assert lines[True] == lines[False]
+
+    def test_chrm_dispatches_somatic_under_diploid(self, tmp_path):
+        """chrM is ALWAYS somatic (GenotypeCreator.GetPloidyForThisChr):
+        under diploid sample ploidy the chrM fast path must use the somatic
+        kernel and match the object path byte-for-byte."""
+        import numpy as np
+        from pisces_tpu.domain.types import PloidyModel
+        from pisces_tpu.io.bam_write import BamWriter
+        from pisces_tpu.io.fasta import create_genome_size_xml
+
+        rng = np.random.default_rng(5)
+        gdir = tmp_path / "genome"
+        gdir.mkdir()
+        seq = "".join(rng.choice(list("ACGT"), 2000))
+        with open(gdir / "chrM.fa", "w") as f:
+            f.write(">chrM\n" + seq + "\n")
+        create_genome_size_xml(str(gdir))
+        bam = str(tmp_path / "m.bam")
+        w = BamWriter(bam, ["chrM"], [len(seq)])
+        for i in range(300):
+            p = 1 + int(rng.integers(0, 1900))
+            w.add_read(f"m{i}", "chrM", p, "60M", seq[p - 1:p + 59],
+                       flag=0x10 if i & 1 else 0)
+        w.write()
+        genome = Genome(str(gdir))
+        lines = {}
+        for fast in (False, True):
+            o = PiscesApplicationOptions()
+            o.output_directory = str(tmp_path / f"m{fast}")
+            os.makedirs(o.output_directory, exist_ok=True)
+            o.vcf_writing_parameters.output_gvcf_file = True
+            o.variant_calling_parameters.ploidy_model = \
+                PloidyModel.DIPLOID_BY_THRESHOLDING
+            o.use_fast_gvcf = fast
+            out = process_bam(o, bam, genome, use_device=False)
+            lines[fast] = [l for l in open(out) if not l.startswith("##")]
+        assert lines[True] == lines[False]
