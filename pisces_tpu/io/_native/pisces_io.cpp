@@ -19,6 +19,10 @@
 #include <vector>
 
 #include <zlib.h>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <cmath>
 #include <algorithm>
 
@@ -128,10 +132,15 @@ struct BamFile {
   std::vector<size_t> rec_offsets;
   // lazy mode (bam_open_lazy): compressed bytes + block table retained so
   // bam_fetch_region can inflate only the .bai-indexed chunks of a window
-  // (the BamReader.Jump analog at native speed, BamReader.cs:22-677)
+  // (the BamReader.Jump analog at native speed, BamReader.cs:22-677).
+  // The compressed file is mmap'd read-only, so concurrent lazy handles on
+  // the same BAM share one page-cache copy.
   bool lazy = false;
-  std::vector<uint8_t> raw;
+  const uint8_t* raw = nullptr;  // mmap'd when raw_len > 0
+  size_t raw_len = 0;
   std::vector<BgzfBlock> blocks;
+
+  ~BamFile();
 
   // decoded columnar batch (for the last decode call)
   std::vector<int32_t> ref_id, pos, end_pos;
@@ -155,6 +164,10 @@ struct BamFile {
   std::vector<int32_t> xv_val, xw_val;
   std::vector<uint8_t> tag_present;
 };
+
+BamFile::~BamFile() {
+  if (raw != nullptr && raw_len > 0) munmap((void*)raw, raw_len);
+}
 
 int32_t rd_i32(const uint8_t* p) {
   int32_t v;
@@ -272,22 +285,22 @@ void* bam_open(const char* path, int n_threads) {
 // inflate only the prefix needed for the header; bam_fetch_region later
 // inflates just the indexed chunks of each window.
 void* bam_open_lazy(const char* path) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
-  fseek(f, 0, SEEK_END);
-  long fsize = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  auto* bf = new BamFile();
-  bf->lazy = true;
-  bf->raw.resize(fsize);
-  if (fread(bf->raw.data(), 1, fsize, f) != (size_t)fsize) {
-    fclose(f);
-    delete bf;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+    close(fd);
     return nullptr;
   }
-  fclose(f);
+  void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  close(fd);
+  if (m == MAP_FAILED) return nullptr;
+  auto* bf = new BamFile();
+  bf->lazy = true;
+  bf->raw = (const uint8_t*)m;
+  bf->raw_len = (size_t)st.st_size;
   size_t total = 0;
-  if (!scan_blocks(bf->raw.data(), bf->raw.size(), &bf->blocks, &total)) {
+  if (!scan_blocks(bf->raw, bf->raw_len, &bf->blocks, &total)) {
     delete bf;
     return nullptr;
   }
@@ -296,7 +309,7 @@ void* bam_open_lazy(const char* path) {
     const auto& b = bf->blocks[i];
     size_t base = bf->udata.size();
     bf->udata.resize(base + b.isize);
-    if (!inflate_block(bf->raw.data() + b.cdata_off, b.cdata_len,
+    if (!inflate_block(bf->raw + b.cdata_off, b.cdata_len,
                        bf->udata.data() + base, b.isize)) {
       delete bf;
       return nullptr;
@@ -358,7 +371,7 @@ int64_t bam_fetch_region(void* h, int want_ref_id, int64_t beg0, int64_t end0,
     iso[b1 - b0 + 1] = run_len;
     bf->udata.resize(run_base + run_len);
     for (int64_t j = b0; j <= b1; j++) {
-      if (!inflate_block(bf->raw.data() + blocks[j].cdata_off,
+      if (!inflate_block(bf->raw + blocks[j].cdata_off,
                          blocks[j].cdata_len,
                          bf->udata.data() + run_base + iso[j - b0],
                          blocks[j].isize))

@@ -633,10 +633,11 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
     import os as _os
     import threading as _threading
     bam = open_bam(bam_path)
-    lazy = None
-    if _os.path.exists(bam_path + ".bai"):
-        from pisces_tpu.io.bam import BamReader as _PyBamReader
-        lazy = _PyBamReader(bam_path, lazy=True)
+    has_bai = _os.path.exists(bam_path + ".bai")
+    # per-neighborhood region fetch: pool of lazy readers (native handles
+    # mutate decode state per fetch, so concurrent neighborhoods each
+    # borrow one; the compressed file is mmap'd, shared across handles)
+    lazy_pool: List = []
     batches: Dict[str, tuple] = {}
     refs: Dict[str, object] = {}
     cache_lock = _threading.Lock()
@@ -652,13 +653,21 @@ def run_scylla(vcf_path: str, bam_path: str, genome_dir: Optional[str] = None,
     def _reads_for(nbhd: Neighborhood):
         if nbhd.chrom not in bam.header.ref_names:
             return None
-        if lazy is not None:
-            rid = lazy.header.ref_index(nbhd.chrom)
-            beg0 = max(0, nbhd.sites[0].position - 1
-                       - options.min_size_for_clip_rescue - 500)
-            end0 = (max(s.position + len(s.ref) for s in nbhd.sites)
-                    + options.min_size_for_clip_rescue + 500)
-            b = lazy.fetch_region(rid, beg0, end0)
+        if has_bai:
+            with cache_lock:
+                lazy = lazy_pool.pop() if lazy_pool else None
+            if lazy is None:
+                lazy = open_bam(bam_path, lazy=True)
+            try:
+                rid = lazy.header.ref_index(nbhd.chrom)
+                beg0 = max(0, nbhd.sites[0].position - 1
+                           - options.min_size_for_clip_rescue - 500)
+                end0 = (max(s.position + len(s.ref) for s in nbhd.sites)
+                        + options.min_size_for_clip_rescue + 500)
+                b = lazy.fetch_region(rid, beg0, end0)
+            finally:
+                with cache_lock:
+                    lazy_pool.append(lazy)
         else:
             with cache_lock:
                 if nbhd.chrom not in batches:
