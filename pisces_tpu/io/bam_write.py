@@ -17,17 +17,17 @@ from pisces_tpu.domain.types import ALLELE_TO_BASE
 # char -> 4-bit nibble code in '=ACMGRSVTWYHKDBN'
 _NIBBLE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 _CIGAR_OPS = "MIDNSHP=X"
+_NIBBLE_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _NIBBLE.items():
+    _NIBBLE_LUT[ord(_c)] = _i
+    _NIBBLE_LUT[ord(_c.lower())] = _i
 
 
 def _encode_seq(seq: str) -> bytes:
-    out = bytearray((len(seq) + 1) // 2)
-    for i, ch in enumerate(seq.upper()):
-        nib = _NIBBLE.get(ch, 15)
-        if i % 2 == 0:
-            out[i // 2] = nib << 4
-        else:
-            out[i // 2] |= nib
-    return bytes(out)
+    nibs = _NIBBLE_LUT[np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)]
+    if len(nibs) & 1:
+        nibs = np.append(nibs, 0)
+    return ((nibs[0::2] << 4) | nibs[1::2]).astype(np.uint8).tobytes()
 
 
 class BamRecord:
@@ -66,7 +66,8 @@ class BamRecord:
         for op, ln in self.cigar:
             body += struct.pack("<I", (ln << 4) | op)
         body += _encode_seq(self.seq)
-        body += bytes(min(q, 255) for q in self.qual)
+        q = np.asarray(self.qual)
+        body += np.minimum(q, 255).astype(np.uint8).tobytes()
         for tag, value in self.tags.items():
             body += tag.encode()[:2] + b"Z" + value.encode() + b"\x00"
         return struct.pack("<i", len(body)) + body

@@ -22,7 +22,9 @@ by the caller's stitched pileup path.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from itertools import groupby
 from typing import List, Optional, Tuple
+
 
 MAX_BASE_QUALITY = 93
 OP_M, OP_I, OP_D, OP_N, OP_S = 0, 1, 2, 3, 4
@@ -85,13 +87,7 @@ def _suffix_clip(cigar) -> int:
 
 
 def _compress(expanded: List[str]) -> List[Tuple[str, int]]:
-    out: List[Tuple[str, int]] = []
-    for c in expanded:
-        if out and out[-1][0] == c:
-            out[-1] = (c, out[-1][1] + 1)
-        else:
-            out.append((c, 1))
-    return out
+    return [(c, len(list(g))) for c, g in groupby(expanded)]
 
 
 def _has_internal_softclip(compressed: List[Tuple[str, int]]) -> bool:
@@ -184,21 +180,27 @@ def _super_simple(p1, cigar1, seq1, qual1, p2, cigar2, seq2, qual2,
     info.is_simple = True
     r1_before = r1_len - overlap
     r2_after = len(seq2) - overlap
-    quals = [0] * (r1_len + r2_after)
-    for i in range(r1_before):
-        quals[i] = int(qual1[i])
-    stitched = list(seq1[r1_first_overlap:r1_first_overlap + overlap])
-    for i in range(overlap):
-        ai = i + r1_before
-        q1 = int(qual1[ai])
-        q2 = int(qual2[i])
-        b1 = seq1[r1_first_overlap + i]
-        b2 = seq2[i]
-        if b1 != b2:
+    s1o = seq1[r1_first_overlap:r1_first_overlap + overlap]
+    s2o = seq2[:overlap]
+    q1o = [int(x) for x in qual1[r1_before:r1_before + overlap]]
+    q2o = [int(x) for x in qual2[:overlap]]
+    # summed agreement quality first (ReadMerger rules); disagreeing
+    # positions — usually none — are then patched individually
+    out_q = [min(a + b, MAX_BASE_QUALITY) for a, b in zip(q1o, q2o)]
+    if s1o == s2o:
+        info.n_agree = overlap
+        stitched_s = s1o
+    else:
+        stitched = list(s1o)
+        n_dis = 0
+        for i, (b1, b2) in enumerate(zip(s1o, s2o)):
+            if b1 == b2:
+                continue
+            n_dis += 1
             if b1 == "N" or b2 == "N":
                 info.n_ndis += 1
-            else:
-                info.n_disagree += 1
+            q1 = q1o[i]
+            q2 = q2o[i]
             if nify_disagreements:
                 q, b = 0, "N"
             else:
@@ -209,17 +211,17 @@ def _super_simple(p1, cigar1, seq1, qual1, p2, cigar2, seq2, qual2,
                 if q1 > min_bq and q2 > min_bq:
                     q = 0
             stitched[i] = b
-        else:
-            q = min(q1 + q2, MAX_BASE_QUALITY)
-            info.n_agree += 1
-        quals[ai] = q
-    for i in range(r2_after):
-        quals[i + r1_len] = int(qual2[i + overlap])
+            out_q[i] = q
+        info.n_disagree = n_dis - info.n_ndis
+        info.n_agree = overlap - n_dis
+        stitched_s = "".join(stitched)
+    quals = ([int(x) for x in qual1[:r1_before]] + out_q
+             + [int(x) for x in qual2[overlap:]])
 
-    bases = seq1[:r1_before] + "".join(stitched) + seq2[overlap:]
+    bases = seq1[:r1_before] + stitched_s + seq2[overlap:]
     info.bases = list(bases)
     info.quals = quals
-    info.overlap_bases = "".join(stitched)
+    info.overlap_bases = stitched_s
     m_len = len(bases) - sp1 - ss2
     info.cigar = (["S"] * sp1) + (["M"] * m_len) + (["S"] * ss2)
     d1 = "R" if r1_is_reverse else "F"
