@@ -396,6 +396,25 @@ def _stage_main(stage: str) -> None:
             print(f"STAGE real-data e2e {name}: {n_reads:,} reads in "
                   f"{dt:.2f}s = {n_reads / dt:,.0f} reads/s, {n_lines} vcf "
                   f"lines ({backend} scoring)", flush=True)
+    elif stage == "scylla":
+        import shutil
+
+        from pisces_tpu.phasing.scylla import main as scylla_main
+
+        SD = ("/root/reference/src/test/Scylla.Tests/TestData")
+        tmp = "/tmp/pisces_tpu_bench_scylla"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t0 = time.perf_counter()
+        scylla_main(["-bam", os.path.join(SHARED_BAMS, "Bcereus_S4.bam"),
+                     "-vcf", os.path.join(SD, "Bcereus_S4.vcf"),
+                     "-out", tmp])
+        dt = time.perf_counter() - t0
+        n = sum(1 for l in open(os.path.join(tmp, "Bcereus_S4.phased.vcf"))
+                if not l.startswith("#"))
+        print(f"STAGE scylla phasing (real Bcereus_S4): {dt:.2f}s, "
+              f"{n} output lines (full-file oracle parity pinned in tests)",
+              flush=True)
     elif stage == "gemini":
         import shutil
 
@@ -466,8 +485,8 @@ def main():
     }), flush=True)
 
     for stage, timeout_s in [("e2e", 240), ("wes", 300), ("real", 240),
-                             ("gemini", 180), ("candidates", 180),
-                             ("pallas", 240)]:
+                             ("gemini", 180), ("scylla", 180),
+                             ("candidates", 180), ("pallas", 240)]:
         _run_stage(stage, timeout_s)
 
 

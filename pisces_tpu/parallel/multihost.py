@@ -60,19 +60,39 @@ def host_chromosome_assignment(chrom_lengths: Sequence[tuple],
 def wait_and_merge_shards(final_vcf: str, shard_of: Dict[str, str],
                           chrom_order: Sequence[str],
                           timeout_s: float = 24 * 3600.0,
-                          poll_s: float = 2.0) -> str:
+                          poll_s: float = 2.0,
+                          recover=None,
+                          stall_s: float = 600.0) -> str:
     """Host 0's merge barrier: wait until every chromosome shard exists
     (shards are written atomically via tmp+rename, so existence == done),
     then concatenate data lines after the first shard's header in genome
     order. The filesystem is the coordination channel, exactly like the
-    reference's CombinePerChromosomeFiles (GenomeProcessor.cs:156-186)."""
+    reference's CombinePerChromosomeFiles (GenomeProcessor.cs:156-186).
+
+    Elastic recovery: when `recover` is given and NO new shard appears for
+    `stall_s`, host 0 assumes the owning host died and calls the missing
+    chromosomes itself (work stealing; first atomic rename wins, so a
+    slow-but-alive host racing the recovery is harmless)."""
     deadline = time.monotonic() + timeout_s
     missing = [c for c in chrom_order if not os.path.exists(shard_of[c])]
+    last_progress = time.monotonic()
+    n_missing = len(missing)
     while missing:
         if time.monotonic() > deadline:
             raise TimeoutError(f"shards never appeared: {missing}")
+        if (recover is not None
+                and time.monotonic() - last_progress > stall_s):
+            logger.log(f"no shard progress for {stall_s:.0f}s; host 0 "
+                       f"recovering {len(missing)} orphaned chromosome(s): "
+                       + ",".join(missing), "WARNING")
+            for c in list(missing):
+                if not os.path.exists(shard_of[c]):
+                    recover(c)
         time.sleep(poll_s)
         missing = [c for c in chrom_order if not os.path.exists(shard_of[c])]
+        if len(missing) != n_missing:
+            n_missing = len(missing)
+            last_progress = time.monotonic()
     with open(final_vcf, "w", newline="\n") as out:
         wrote_header = False
         for c in chrom_order:
@@ -127,5 +147,17 @@ def process_bam_multihost(options, bam_path: str, genome_dir: str,
 
     if pid != 0:
         return None
+
+    def _recover(chrom: str) -> None:
+        tmp = shard_of[chrom] + ".tmp0r"
+        options.chromosome_filter = chrom
+        process_bam(options, bam_path, genome, out_vcf=tmp,
+                    use_device=use_device)
+        if not os.path.exists(shard_of[chrom]):  # first rename wins
+            os.replace(tmp, shard_of[chrom])
+        else:
+            os.unlink(tmp)
+
     return wait_and_merge_shards(final_vcf, shard_of,
-                                 [c for c, _l in chrom_lengths])
+                                 [c for c, _l in chrom_lengths],
+                                 recover=_recover)

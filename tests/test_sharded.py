@@ -285,3 +285,46 @@ class TestShardedCandidateScoring:
         indels = [d for d in data if len(d[3]) != len(d[4])
                   and d[4] not in (".",)]
         assert snvs and indels
+
+
+class TestMultiHostRecovery:
+    def test_host0_steals_orphaned_chromosome(self, tmp_path):
+        """Elastic recovery: when no shard progress happens for stall_s,
+        host 0 processes the missing chromosomes itself (atomic rename,
+        first writer wins) and the merged VCF equals a clean run."""
+        import bench
+        from pisces_tpu.parallel.multihost import wait_and_merge_shards
+
+        bam, gdir = bench._write_synthetic_workload(
+            str(tmp_path / "wl"), n_chroms=2, chrom_len=30_000,
+            n_reads=3_000)
+        genome = Genome(gdir)
+        out_dir = tmp_path / "mh"
+        out_dir.mkdir()
+
+        def run_chrom(chrom, dest):
+            o = PiscesApplicationOptions()
+            o.output_directory = str(out_dir)
+            o.vcf_writing_parameters.output_gvcf_file = True
+            o.chromosome_filter = chrom
+            tmp = dest + ".t"
+            process_bam(o, bam, genome, out_vcf=tmp, use_device=False)
+            os.replace(tmp, dest)
+
+        shard_of = {c: str(out_dir / f"s.vcf_{c}") for c in ("chr1", "chr2")}
+        run_chrom("chr1", shard_of["chr1"])  # chr2's "host" died
+
+        recovered = []
+
+        def recover(chrom):
+            recovered.append(chrom)
+            run_chrom(chrom, shard_of[chrom])
+
+        final = wait_and_merge_shards(str(out_dir / "final.vcf"), shard_of,
+                                      ["chr1", "chr2"], timeout_s=60,
+                                      poll_s=0.2, recover=recover,
+                                      stall_s=0.5)
+        assert recovered == ["chr2"]
+        data = [l for l in open(final) if not l.startswith("#")]
+        assert any(l.startswith("chr1\t") for l in data)
+        assert any(l.startswith("chr2\t") for l in data)
