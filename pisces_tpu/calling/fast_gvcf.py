@@ -88,6 +88,14 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
             all_support_by_dir = counts[np.arange(len(counts)), ref_codes, :]
     elif nb == 0:
         return np.empty(0, np.int64), None
+    elif getattr(pc, "gvcf_unique", None) is not None:
+        # the C++ pileup already selected covered in-reference loci and
+        # deduped them to unique tuples (pileup_gvcf_unique)
+        positions, uniq, inv = pc.gvcf_unique
+        if len(positions) == 0:
+            return positions, None
+        return _finish_scoring(positions, uniq, inv, None, refseq, params,
+                               use_device, diploid_snv_params)
     else:
         block_size = pc.block_size
         starts = (pc.block_keys - 1) * block_size + 1
@@ -124,7 +132,13 @@ def score_reference_positions(pc: PileupCounts, refseq: np.ndarray,
     if intervals is not None:
         pad_flag = (rows < 0).astype(np.int64)
     uniq, inv = _unique_tuples(all_support_by_dir, all_cov_by_dir, pad_flag)
+    return _finish_scoring(positions, uniq, inv, pad_flag, refseq, params,
+                           use_device, diploid_snv_params)
 
+
+def _finish_scoring(positions, uniq, inv, pad_flag, refseq, params,
+                    use_device, diploid_snv_params):
+    """Score the unique tuples and assemble the per-position output dict."""
     if diploid_snv_params is not None:
         # diploid-thresholding ref lines: vectorized f64 host twin (the
         # fused device kernel implements somatic GT/GQ only)

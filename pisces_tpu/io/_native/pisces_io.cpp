@@ -13,7 +13,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <memory>
+#include <unordered_map>
 #include <string>
 #include <thread>
 #include <vector>
@@ -118,6 +120,12 @@ struct PileupResult {
   // [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0] — everything the
   // gVCF reference scorer needs, so Python never re-reduces the dense tensor
   std::vector<int32_t> pos_tuples;
+  // gVCF dedup (pileup_gvcf_unique): covered in-reference positions, their
+  // unique (sup, cov)-by-direction 6-tuples, and the per-position inverse
+  // index (fast_gvcf.score_reference_positions contract)
+  std::vector<int64_t> sel_positions;
+  std::vector<int32_t> uniq_tuples;  // [U * 6]
+  std::vector<int32_t> uniq_inv;     // [n_sel]
 };
 
 struct BamFile {
@@ -1101,6 +1109,100 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
     res.pos_tuples.clear();
   }
   return nb;
+}
+
+// Dedup covered in-reference positions to unique scoring tuples (the
+// fast-gVCF hot reduction: every scoring output is a pure function of the
+// (support, coverage)-by-direction 6-tuple, so U << L rows get scored).
+// Requires a prior bam_pileup_mm with ref_codes (pos_tuples filled).
+// Returns the number of selected positions, or -1 when unavailable.
+int64_t pileup_gvcf_unique(void* h, int block_size, int64_t ref_len) {
+  auto* bf = (BamFile*)h;
+  auto* res = bf->pileup.get();
+  if (res == nullptr || res->pos_tuples.empty()) return -1;
+  int64_t nrows = (int64_t)res->pos_tuples.size() / 8;
+  res->sel_positions.clear();
+  res->uniq_tuples.clear();
+  res->uniq_inv.clear();
+
+  // packed-key dedup (6 fields x 10 bits) with an ordered-map fallback
+  // when a field overflows; uniq order is first-occurrence either way —
+  // every consumer memoizes per unique row, order-independent
+  std::unordered_map<uint64_t, int32_t> seen;
+  std::map<std::array<int32_t, 6>, int32_t> seen_big;
+  bool big = false;
+  const int64_t* keys = res->block_keys.data();
+  for (int64_t r = 0; r < nrows; r++) {
+    const int32_t* t = &res->pos_tuples[r * 8];
+    int64_t total = (int64_t)t[3] + t[4] + t[5] + t[6];
+    if (total <= 0) continue;
+    int64_t slot = r / block_size;
+    int64_t gpos = (keys[slot] - 1) * block_size + (r % block_size) + 1;
+    if (gpos > ref_len) continue;
+    res->sel_positions.push_back(gpos);
+    int32_t idx;
+    if (!big) {
+      bool overflow = false;
+      uint64_t key = 0;
+      for (int j = 0; j < 6; j++) {
+        if ((uint32_t)t[j] >= 1024u) {
+          overflow = true;
+          break;
+        }
+        key = (key << 10) | (uint32_t)t[j];
+      }
+      if (overflow) {
+        // migrate existing entries to the wide map
+        big = true;
+        for (auto& kv : seen) {
+          std::array<int32_t, 6> a;
+          uint64_t k = kv.first;
+          for (int j = 5; j >= 0; j--) {
+            a[j] = (int32_t)(k & 0x3FF);
+            k >>= 10;
+          }
+          seen_big[a] = kv.second;
+        }
+        seen.clear();
+      } else {
+        auto it = seen.find(key);
+        if (it == seen.end()) {
+          idx = (int32_t)(res->uniq_tuples.size() / 6);
+          seen.emplace(key, idx);
+          res->uniq_tuples.insert(res->uniq_tuples.end(), t, t + 6);
+        } else {
+          idx = it->second;
+        }
+        res->uniq_inv.push_back(idx);
+        continue;
+      }
+    }
+    std::array<int32_t, 6> a;
+    for (int j = 0; j < 6; j++) a[j] = t[j];
+    auto it = seen_big.find(a);
+    if (it == seen_big.end()) {
+      idx = (int32_t)(res->uniq_tuples.size() / 6);
+      seen_big.emplace(a, idx);
+      res->uniq_tuples.insert(res->uniq_tuples.end(), t, t + 6);
+    } else {
+      idx = it->second;
+    }
+    res->uniq_inv.push_back(idx);
+  }
+  return (int64_t)res->sel_positions.size();
+}
+
+const int64_t* pileup_sel_positions(void* h) {
+  return ((BamFile*)h)->pileup->sel_positions.data();
+}
+int64_t pileup_n_uniq(void* h) {
+  return (int64_t)((BamFile*)h)->pileup->uniq_tuples.size() / 6;
+}
+const int32_t* pileup_uniq_tuples(void* h) {
+  return ((BamFile*)h)->pileup->uniq_tuples.data();
+}
+const int32_t* pileup_uniq_inv(void* h) {
+  return ((BamFile*)h)->pileup->uniq_inv.data();
 }
 
 static inline PileupResult* pu(void* h) { return ((BamFile*)h)->pileup.get(); }

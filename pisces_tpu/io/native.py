@@ -372,6 +372,17 @@ def _bind_pileup(lib):
         fn.argtypes = [ctypes.c_void_p]
     lib.pileup_has_pos_tuples.restype = ctypes.c_int64
     lib.pileup_has_pos_tuples.argtypes = [ctypes.c_void_p]
+    lib.pileup_gvcf_unique.restype = ctypes.c_int64
+    lib.pileup_gvcf_unique.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int64]
+    lib.pileup_n_uniq.restype = ctypes.c_int64
+    lib.pileup_n_uniq.argtypes = [ctypes.c_void_p]
+    for name, ct in [("pileup_sel_positions", ctypes.c_int64),
+                     ("pileup_uniq_tuples", ctypes.c_int32),
+                     ("pileup_uniq_inv", ctypes.c_int32)]:
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ct)
+        fn.argtypes = [ctypes.c_void_p]
     lib._pileup_bound = True
 
 
@@ -430,6 +441,17 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
         pc.pos_tuples = _as_view(lib.pileup_pos_tuples(reader._h),
                                  nb * block_size * 8,
                                  np.int32).reshape(nb * block_size, 8)
+        # C++ dedup of covered loci to unique scoring tuples (the fast-gVCF
+        # reduction; fast_gvcf skips its Python np.unique when present)
+        n_sel = lib.pileup_gvcf_unique(reader._h, block_size, len(rc))
+        if n_sel >= 0:
+            u = int(lib.pileup_n_uniq(reader._h))
+            pc.gvcf_unique = (
+                _as_array(lib.pileup_sel_positions(reader._h), n_sel,
+                          np.int64),
+                _as_array(lib.pileup_uniq_tuples(reader._h), u * 6,
+                          np.int32).reshape(u, 6).astype(np.int64),
+                _as_array(lib.pileup_uniq_inv(reader._h), n_sel, np.int32))
     mismatches = None
     if ref_codes is not None:
         n_mm = int(lib.pileup_n_mismatches(reader._h))
