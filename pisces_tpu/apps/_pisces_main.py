@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-sbfilter", "-maxacceptablestrandbiasfilter", dest="sbfilter",
       type=float, default=0.5)
     a("-gender", default=None, help="male or female (sex chromosomes)")
+    a("-maxgp", "-maxgenotypeposteriorscore", type=int, default=None,
+      help="cap on adaptive-GT phred genotype posteriors (GP column)")
     a("-rmxnfilter", default="5,9,0.35")
     a("-ncfilter", type=float, default=0.6)
     a("-abfilter", type=float, default=None)
@@ -250,6 +252,8 @@ def options_from_args(args, argv) -> PiscesApplicationOptions:
     v.strand_bias_acceptance_criteria = args.sbfilter
     if args.gender:
         v.is_male = args.gender.lower() == "male"
+    if args.maxgp is not None:
+        v.adaptive_genotyping_parameters.max_genotype_posteriors = args.maxgp
     if args.rmxnfilter.lower() == "false":
         v.rmxn_filter_max_length_repeat = None
         v.rmxn_filter_min_repetitions = None

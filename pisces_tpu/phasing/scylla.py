@@ -143,6 +143,19 @@ def build_neighborhoods(alleles_stream, criteria: PhasableVariantCriteria
                 neighborhoods.append(nb)
         last_site = site
 
+    if criteria.min_passing_variants_in_nbhd > 0:
+        # skip under-supported neighborhoods unless they consist only of
+        # passing variants (NeighborhoodBuilder
+        # .ConvertToCallableNeighborhoods, cs:125-132)
+        kept = []
+        for nb in neighborhoods:
+            n_pass = sum(1 for s in nb.sites if s.is_passing)
+            if (n_pass < criteria.min_passing_variants_in_nbhd
+                    and len(nb.sites) - n_pass > 0):
+                continue
+            kept.append(nb)
+        neighborhoods = kept
+
     return neighborhoods
 
 
@@ -999,6 +1012,7 @@ def main(argv=None) -> int:
     a("-passingvariantsonly", default="true")
     a("-hetvariantsonly", default="false")
     a("-maxnbhdstoprocess", type=int, default=-1)
+    a("-minpassingvariantsinnbhd", type=int, default=0)
     a("-nbhd", "-filterednbhdtoprocess", dest="nbhd", default=None)
     a("-clusterconstraint", type=int, default=-1)
     a("-allowclustermerging", default="true")
@@ -1047,6 +1061,7 @@ def main(argv=None) -> int:
     ph.passing_variants_only = _b(args.passingvariantsonly)
     ph.het_variants_only = _b(args.hetvariantsonly)
     ph.max_num_nbhds_to_process = args.maxnbhdstoprocess
+    ph.min_passing_variants_in_nbhd = args.minpassingvariantsinnbhd
     ph.filtered_nbhd_to_process = args.nbhd
     if args.chr:
         ph.chrs_to_process = tuple(c for c in args.chr.split(",") if c)

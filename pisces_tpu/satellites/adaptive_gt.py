@@ -289,7 +289,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="adaptive-gt")
     p.add_argument("-vcf", required=True)
     p.add_argument("-log", default=None, help="log file name base")
-    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-o", "--out", "-outfolder", dest="out", default=None)
     p.add_argument("-models", default=None)
     p.add_argument("-backend", default="numpy", choices=["numpy", "jax"])
     args = p.parse_args(argv)

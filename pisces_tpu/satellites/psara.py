@@ -82,7 +82,7 @@ def main(argv=None) -> int:
     p.add_argument("-roi", "--RegionOfInterestPath", required=True, dest="roi")
     p.add_argument("-inclusionmodel", default="start",
                    choices=["start", "expanded"])
-    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-o", "--out", "-outfolder", dest="out", default=None)
     args = p.parse_args(argv)
     stem = os.path.basename(args.vcf).replace(".vcf", "")
     out_dir = args.out or os.path.dirname(args.vcf)

@@ -413,7 +413,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="venn-vcf")
     p.add_argument("-if", dest="input_files", required=True,
                    help="comma separated pair: a.vcf,b.vcf or [a.vcf,b.vcf]")
-    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-o", "--out", "-outfolder", dest="out", required=True)
     p.add_argument("-consensus", default="true")
     p.add_argument("-debug", default="false")
     p.add_argument("-log", default=None, help="log file name base")
