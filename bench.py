@@ -486,7 +486,7 @@ def main():
 
     for stage, timeout_s in [("e2e", 240), ("wes", 300), ("real", 240),
                              ("gemini", 180), ("scylla", 180),
-                             ("candidates", 180), ("pallas", 240)]:
+                             ("candidates", 180), ("pallas", 360)]:
         _run_stage(stage, timeout_s)
 
 
