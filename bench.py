@@ -11,7 +11,7 @@ inside one jit (lax.fori_loop with an accumulator->input data dependency so
 XLA cannot hoist the loop body), and ONE scalar is fetched at the end.
 Per-step host scalar fetches over the axon tunnel cost ~40 ms each, so the
 round-1/2 method (sync every step) measured tunnel latency, not the chip:
-it reported ~30M loci/s where the true steady-state is ~100M.
+it reported ~30M loci/s where the true steady state is ~1.0B.
 
 Robustness (round 3, after BENCH_r02 died at rc=139):
   - the axon PJRT plugin registers from /root/.axon_site via PYTHONPATH;
@@ -123,10 +123,10 @@ def bench_host(counts, ref_code, iters=1):
 
 def bench_pallas_chained(sup, cov, iters=CHAIN_ITERS):
     """Informational: the Pallas fixed-series kernel, same chained method.
-    Measured SLOWER than the XLA igamma kernel on v5e (57M vs 98M loci/s,
-    round 3): the workload is compute-bound on the Poisson tails and XLA's
-    adaptive igamma beats the fixed 64-term series; kept as a tested
-    alternative, not the production path."""
+    Measured SLOWER than the XLA igamma kernel on v5e (~59M vs ~1.0B
+    loci/s, round 3): the workload is compute-bound on the Poisson tails
+    and XLA's adaptive igamma beats the fixed 64-term series; kept as a
+    tested alternative, not the production path."""
     import jax
     import jax.numpy as jnp
     from pisces_tpu.ops.jax_scoring import ScoringParams
