@@ -74,7 +74,7 @@ def create_genotype_calculator(config, ref_name: Optional[str] = None,
         from pisces_tpu.genotype.diploid import DiploidThresholdingGenotyper
         return DiploidThresholdingGenotyper(config)
     if ploidy == PloidyModel.HAPLOID:
-        from pisces_tpu.genotype.haploid import HaploidGenotyper
+        from pisces_tpu.genotype.diploid import HaploidGenotyper
         return HaploidGenotyper(config)
     if ploidy == PloidyModel.DIPLOID_BY_ADAPTIVE_GT:
         from pisces_tpu.genotype.adaptive import DiploidAdaptiveGenotyper

@@ -143,37 +143,76 @@ def classify(ref: str, alt: str) -> AlleleCategory:
     return AlleleCategory.UNSUPPORTED
 
 
+def _filter_threshold(tag: str) -> int:
+    """VcfVariantUtilities.LookForThresholdValue: int value of tag[1:], -1 if
+    unparsable (reference: VcfVariantUtilities.cs:475-480)."""
+    try:
+        return int(tag[1:])
+    except ValueError:
+        return -1
+
+
 def parse_filter_string(filters: str) -> list:
-    """Inverse of VcfFormatter's filter-string mapping (partial: tags whose
-    thresholds aren't encoded round-trip; unknown tags are ignored)."""
+    """Inverse of VcfFormatter's filter-string mapping, matching
+    VcfVariantUtilities.MapFilterString (VcfVariantUtilities.cs:404-472):
+    case-insensitive, and any unrecognised non-PASS tag maps to
+    FilterType.UNKNOWN so the allele reads as non-passing downstream
+    (Scylla's PassingVariantsOnly checks Filters.Count == 0,
+    NeighborhoodBuilder.cs:175-180)."""
     from pisces_tpu.domain.types import FilterType
     out = []
-    if not filters or filters in ("PASS", "."):
+    if not filters:
         return out
-    for tag in filters.split(";"):
-        if tag.startswith("q") and tag[1:].isdigit():
+    fs = filters.strip().lower()
+    if fs in (".", "", "pass"):
+        return out
+    for tag in fs.split(";"):
+        tag = tag.strip()
+        if tag in (".", ""):
+            continue
+        thr = _filter_threshold(tag)
+        if "lowq" in tag or (tag[0] == "q" and thr > 0):
             out.append(FilterType.LOW_VARIANT_QSCORE)
-        elif tag == "LowDP":
-            out.append(FilterType.LOW_DEPTH)
-        elif tag == "SB":
+        elif tag == "pb":
+            out.append(FilterType.POOL_BIAS)
+        elif tag == "sb":
             out.append(FilterType.STRAND_BIAS)
-        elif tag == "LowVariantFreq":
-            out.append(FilterType.LOW_VARIANT_FREQUENCY)
-        elif tag == "LowGQ":
-            out.append(FilterType.LOW_GENOTYPE_QUALITY)
-        elif tag == "MultiAllelicSite":
-            out.append(FilterType.MULTI_ALLELIC_SITE)
-        elif tag == "ForcedReport":
-            out.append(FilterType.FORCED_REPORT)
-        elif tag == "NC":
-            out.append(FilterType.NO_CALL)
-        elif tag == "AB":
+        elif tag == "ab":
             out.append(FilterType.AMPLICON_BIAS)
-        elif tag.startswith("R") and "x" in tag:
-            out.append(FilterType.RMXN)
-        elif tag.startswith("R") and tag[1:].isdigit():
+        elif tag in ("lowdp", "lowdepth"):
+            out.append(FilterType.LOW_DEPTH)
+        elif tag in ("lowvariantfreq", "lowfreq"):
+            out.append(FilterType.LOW_VARIANT_FREQUENCY)
+        elif tag == "lowgq" or tag[:2] == "gq":
+            out.append(FilterType.LOW_GENOTYPE_QUALITY)
+        elif tag[0] == "r" and thr > 0:
             out.append(FilterType.INDEL_REPEAT_LENGTH)
+        elif _is_rmxn(tag):
+            out.append(FilterType.RMXN)
+        elif tag == "multiallelicsite":
+            out.append(FilterType.MULTI_ALLELIC_SITE)
+        elif tag == "forcedreport":
+            out.append(FilterType.FORCED_REPORT)
+        elif tag == "nc":
+            out.append(FilterType.NO_CALL)
+        elif tag != "pass":
+            out.append(FilterType.UNKNOWN)
     return out
+
+
+def _is_rmxn(tag: str) -> bool:
+    """VcfVariantUtilities.IsRMxN (VcfVariantUtilities.cs:371-395):
+    'r<M>x<N>' with both parts integer."""
+    if not tag or tag[0] != "r":
+        return False
+    parts = tag[1:].split("x")
+    if len(parts) != 2:
+        return False
+    try:
+        int(parts[0]); int(parts[1])
+    except ValueError:
+        return False
+    return True
 
 
 def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
@@ -220,8 +259,11 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
                 allele.strand_bias_gatk = float(gts["SB"])
             except ValueError:
                 pass
-        # AD semantics: ref alleles have a single AD value; variants have
-        # refSupport,altSupport[,..]
+        # AD semantics (VcfVariantUtilities.cs): ref alleles have a single AD
+        # value; single-alt lines have refSupport,altSupport; CRUSHED
+        # multi-alt lines have per-alt supports only, and UnpackVariant
+        # (VcfVariantUtilities.cs:24-138) estimates
+        # refSupport = max(0, DP - sum(alt ADs)).
         if cat == AlleleCategory.REFERENCE:
             if ad_values and ad_values[0]:
                 allele.allele_support = int(ad_values[0])
@@ -229,6 +271,26 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
             if vf_values and vf_values[0]:
                 # VF on ref lines is the non-ref fraction
                 pass
+        elif len(real_alts) > 1:
+            # crushed line: AD index i aligns with the alt's index in the
+            # FULL alt list (skipped '*'/'<M>' entries keep their AD slot)
+            full_index = alts.index(alt)
+            ref_estimate = dp
+            for j, a2 in enumerate(alts):
+                if a2 in ("*", "<M>"):
+                    continue
+                if j < len(ad_values) and ad_values[j]:
+                    try:
+                        ref_estimate -= int(ad_values[j])
+                    except ValueError:
+                        pass
+            allele.reference_support = max(0, ref_estimate)
+            if full_index < len(ad_values) and ad_values[full_index]:
+                try:
+                    allele.allele_support = int(ad_values[full_index])
+                except ValueError:
+                    pass
+            alt_index += 1
         else:
             if ad_values and ad_values[0]:
                 allele.reference_support = int(ad_values[0])

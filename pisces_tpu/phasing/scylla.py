@@ -339,6 +339,18 @@ class ScyllaOptions:
         self.low_depth_filter = 10
         self.min_coverage = 10
         self.target_lod = 0.01
+        # ploidy (ScyllaApplicationOptions.cs:43-47 forces MinimumFrequency
+        # to the diploid SNV MinorVF in diploid-by-thresholding mode;
+        # CallableNeighborhood.cs:83-89 builds the nbhd GT calculator)
+        from pisces_tpu.domain.types import PloidyModel
+        from pisces_tpu.options import (DiploidThresholdingParameters,
+                                        AdaptiveGenotypingParameters)
+        self.ploidy_model = PloidyModel.SOMATIC
+        self.diploid_snv_parameters = DiploidThresholdingParameters()
+        self.diploid_indel_parameters = DiploidThresholdingParameters()
+        self.adaptive_genotyping_parameters = AdaptiveGenotypingParameters()
+        self.min_gq = 0
+        self.max_gq = 100
         self.clustering = ClusteringParameters()
         self.phasable = PhasableVariantCriteria()
         self.crush_nbhd = False
@@ -496,7 +508,13 @@ def process_neighborhood(nbhd: Neighborhood, batch, keep, refseq,
     else:
         depths, nocalls = depth_at_sites(
             [vg for c in clusters for vg in c.vead_groups])
-        anchor = nbhd.first_position_of_interest if options.crush_nbhd else -1
+        # crush mode AND both diploid modes anchor all phased alleles at the
+        # first position of interest (CallableNeighborhood.cs:160-165)
+        from pisces_tpu.domain.types import PloidyModel
+        anchored_mode = (options.crush_nbhd or options.ploidy_model in
+                         (PloidyModel.DIPLOID_BY_THRESHOLDING,
+                          PloidyModel.DIPLOID_BY_ADAPTIVE_GT))
+        anchor = nbhd.first_position_of_interest if anchored_mode else -1
         for cluster in clusters:
             consensus = cluster.consensus_sites()
             ref_support = cluster.get_cluster_reference_support(clusters)
@@ -524,6 +542,7 @@ def process_neighborhood(nbhd: Neighborhood, batch, keep, refseq,
     if nbhd.number_clipped_reads > 0 and options.use_soft_clipped_reads:
         supplement_softclip_support(nbhd, batch, options)
 
+    _genotype_and_prune(nbhd, options)
     _call_mnvs(nbhd, options)
     _call_refs(nbhd, options)
 
@@ -539,11 +558,42 @@ def _add_combining(target: List[CalledAllele], mnv: CalledAllele, max_q: int):
     target.append(mnv)
 
 
+class _NbhdGTConfig:
+    """Config shim for create_genotype_calculator, mirroring the parameters
+    CallableNeighborhood passes to GenotypeCreator.CreateGenotypeCalculator
+    (CallableNeighborhood.cs:83-89)."""
+
+    def __init__(self, options: ScyllaOptions):
+        self.ploidy_model = options.ploidy_model
+        self.min_frequency_filter = options.min_frequency_filter
+        self.min_depth_to_genotype = options.min_coverage
+        self.min_gq_score = options.min_gq
+        self.max_gq_score = options.max_gq
+        self.target_lod_frequency = options.target_lod
+        self.diploid_snv_parameters = options.diploid_snv_parameters
+        self.diploid_indel_parameters = options.diploid_indel_parameters
+        self.adaptive_parameters = options.adaptive_genotyping_parameters
+
+
+def _nbhd_gt_calculator(options: ScyllaOptions):
+    from pisces_tpu.genotype import create_genotype_calculator
+    return create_genotype_calculator(_NbhdGTConfig(options))
+
+
+def _genotype_and_prune(nbhd: Neighborhood, options: ScyllaOptions) -> None:
+    """CallableNeighborhood.SetGenotypesAndPruneExcessAlleles
+    (CallableNeighborhood.cs:137-147): genotype ALL accepted phased variants
+    as one locus via the ploidy-appropriate calculator, then drop pruned
+    excess alleles. For somatic this genotypes each allele independently and
+    prunes nothing."""
+    prune = _nbhd_gt_calculator(options).set_genotypes(nbhd.accepted)
+    for mnv in prune:
+        nbhd.accepted.remove(mnv)
+
+
 def _call_mnvs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
-    """VariantCaller.CallMNVs + somatic genotyping of accepted MNVs."""
-    from pisces_tpu.genotype import SomaticGenotyper
-    gt_calc = SomaticGenotyper(options.min_frequency_filter, options.min_coverage,
-                               0, 100, options.target_lod)
+    """VariantCaller.CallMNVs (genotyping already done nbhd-level by
+    _genotype_and_prune, matching VariantPhaser.cs:141)."""
     nbhd.accepted.sort(key=lambda a: (a.position, a.ref_allele, a.alt_allele))
     found: Dict[int, List[CalledAllele]] = {}
     for mnv in nbhd.accepted:
@@ -553,8 +603,6 @@ def _call_mnvs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
             continue
         if np.float32(mnv.frequency) < np.float32(options.min_frequency):
             continue
-        gt_calc.set_genotypes([mnv])
-        mnv.filters = []
         if mnv.variant_qscore < options.min_variant_qscore_filter:
             mnv.add_filter(FilterType.LOW_VARIANT_QSCORE)
         if np.float32(mnv.frequency) < np.float32(options.min_frequency_filter):
@@ -571,10 +619,9 @@ def _call_mnvs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
 
 
 def _call_refs(nbhd: Neighborhood, options: ScyllaOptions) -> None:
-    """VariantCaller.CallRefs."""
-    from pisces_tpu.genotype import SomaticGenotyper
-    gt_calc = SomaticGenotyper(options.min_frequency_filter, options.min_coverage,
-                               0, 100, options.target_lod)
+    """VariantCaller.CallRefs (ref recall genotyped by the nbhd's
+    ploidy-appropriate calculator, VariantCaller.cs:42-66)."""
+    gt_calc = _nbhd_gt_calculator(options)
     refs: Dict[int, CalledAllele] = {}
     for allele in nbhd.original_vcf_variants():
         sucked = nbhd.used_ref_counts.get(allele.position, [0, None])[0]
@@ -973,6 +1020,12 @@ def pisces_defaults_from_vcf_header(vcf_path: str) -> dict:
         "-mindepthfilter": ("mindpfilter", int),
         "-maxvq": ("maxvq", int), "-maxvariantqscore": ("maxvq", int),
         "-ncfilter": ("ncfilter", float),
+        # the reference adopts the ENTIRE original VariantCallingParams from
+        # the Pisces header cmdline (VcfConsumerAppParsingUtils.cs:23-42),
+        # which carries the ploidy model and diploid thresholds
+        "-ploidy": ("ploidy", str),
+        "-diploidsnvgenotypeparameters": ("diploidsnvgenotypeparameters", str),
+        "-diploidindelgenotypeparameters": ("diploidindelgenotypeparameters", str),
     }
     out = {}
     i = 0
@@ -1047,8 +1100,10 @@ def main(argv=None) -> int:
     a("-reportrccounts", default="false")
     a("-reporttscounts", default="false")
     a("-ploidy", default="somatic",
-      help="somatic (default); diploid phased-genotype thresholding is "
-           "not implemented and falls back to somatic rescoring")
+      help="somatic (default), diploid, or diploidbyadaptivegt "
+           "(VariantCallingOptionsParserUtils.cs:75-78)")
+    a("-diploidsnvgenotypeparameters", default=None)
+    a("-diploidindelgenotypeparameters", default=None)
     raw = _normalize(list(argv if argv is not None else sys.argv[1:]))
     # the original Pisces settings embedded in the input VCF header are the
     # DEFAULTS; explicit CLI flags win (Scylla/Program.cs AdjustOptions)
@@ -1087,6 +1142,36 @@ def main(argv=None) -> int:
     options.crush_nbhd = _b(args.crushvcf)
     options.max_num_threads = args.maxnumthreads
     options.no_call_filter_threshold = args.ncfilter
+    # ploidy model + ScyllaApplicationOptions.SetDerivedValues
+    # (ScyllaApplicationOptions.cs:35-57): diploid-by-thresholding forces
+    # MinimumFrequency to the diploid SNV MinorVF, then the filter floors
+    # are raised to at least the call thresholds
+    from pisces_tpu.domain.types import PloidyModel
+    ploidy = (args.ploidy or "somatic").strip().lower()
+    if ploidy in ("diploid", "diploidbythresholding"):
+        options.ploidy_model = PloidyModel.DIPLOID_BY_THRESHOLDING
+    elif ploidy in ("diploidbyadaptivegt", "adaptive"):
+        options.ploidy_model = PloidyModel.DIPLOID_BY_ADAPTIVE_GT
+    else:
+        options.ploidy_model = PloidyModel.SOMATIC
+
+    def _thresholds(spec, target):
+        parts = [float(x) for x in spec.split(",")]
+        target.minor_vf, target.major_vf = parts[0], parts[1]
+        if len(parts) > 2:
+            target.sum_vf_for_multi_allelic_site = parts[2]
+    if args.diploidsnvgenotypeparameters:
+        _thresholds(args.diploidsnvgenotypeparameters,
+                    options.diploid_snv_parameters)
+    if args.diploidindelgenotypeparameters:
+        _thresholds(args.diploidindelgenotypeparameters,
+                    options.diploid_indel_parameters)
+    if options.ploidy_model == PloidyModel.DIPLOID_BY_THRESHOLDING:
+        options.min_frequency = options.diploid_snv_parameters.minor_vf
+    if options.min_frequency_filter < options.min_frequency:
+        options.min_frequency_filter = options.min_frequency
+    if options.min_variant_qscore_filter < options.min_variant_qscore:
+        options.min_variant_qscore_filter = options.min_variant_qscore
     options.report_no_calls = _b(args.reportnocalls)
     options.report_rc_counts = _b(args.reportrccounts)
     options.report_ts_counts = _b(args.reporttscounts)

@@ -485,3 +485,65 @@ def test_bcereus_somatic_full_file_parity(tmp_path):
            if not l.startswith("##")]
     assert got == exp
     assert len(got) > 40
+
+
+def test_tiny_diploid_full_file_parity(tmp_path):
+    """Scylla.Tests ExecutionTests.TestWithDiploidEdgeNbhd
+    (ExecutionTests.cs:128-149): diploid-mode phasing of a crushed 1/2 VCF.
+    Pins three behaviors at once: (a) malformed FILTER strings ("DP=1370")
+    map to FilterType.Unknown so those lines are NOT phasable and pass
+    through verbatim (VcfVariantUtilities.cs:404-472 +
+    NeighborhoodBuilder.cs:175-180); (b) crushed multi-alt AD unpacking
+    estimates refSupport = DP - sum(alt ADs) (VcfVariantUtilities.cs:24-138),
+    giving the recalled ref AD=111 of DP=364; (c) the diploid thresholding
+    genotyper recalls the nbhd as 0/. with GQ 0 and the writer uses
+    2-decimal frequencies because diploid MinimumFrequency=0.20
+    (ScyllaApplicationOptions.cs:43-47, VcfFormatter.cs:52-64)."""
+    import conftest
+    from pisces_tpu.phasing.scylla import main as scylla_main
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    assert scylla_main([
+        "-bam", os.path.join(SD, "chr21_11085587_S1.bam"),
+        "-vcf", os.path.join(SD, "TinyDiploid.vcf"),
+        "-out", out_dir,
+        "-ploidy", "diploid"]) in (0, None)
+    got = [l for l in open(os.path.join(out_dir, "TinyDiploid.phased.vcf"))
+           if not l.startswith("##")]
+    exp = [l for l in open(os.path.join(SD, "TinyDiploid.exp.phased.vcf"))
+           if not l.startswith("##")]
+    assert got == exp
+
+
+def test_small_s1_diploid_crushed_full_file_parity(tmp_path):
+    """Scylla.Tests ExecutionTests.TestDiploidExecution (ExecutionTests.cs:
+    41-58): crushed diploid phasing of small_S1 with real reads byte-matches
+    the shipped small_S1.out.diploid.genome.vcf — exercises nbhd-level
+    diploid thresholding genotyping with pruning
+    (CallableNeighborhood.cs:137-147), diploid/crush anchoring
+    (CallableNeighborhood.cs:160-165), and the 0.20-min-frequency
+    2-decimal VF formatting."""
+    import conftest
+    from pisces_tpu.phasing.scylla import main as scylla_main
+
+    SD = os.path.join(conftest.REFERENCE_ROOT, "src/test/Scylla.Tests/TestData")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    assert scylla_main([
+        "-bam", conftest.shared_bam("small_S1.bam"),
+        "-vcf", os.path.join(SD, "small_S1.genome.vcf"),
+        "-out", out_dir, "-crushvcf", "true",
+        "-ploidy", "diploid",
+        "-diploidINDELgenotypeparameters", "0.20,0.70,0.80",
+        "-diploidSNVgenotypeparameters", "0.20,0.70,0.80",
+        "-ncfilter", "1"]) in (0, None)
+    # the shipped oracle lacks a trailing newline on its last line
+    got = [l.rstrip("\n") for l in
+           open(os.path.join(out_dir, "small_S1.phased.genome.vcf"))
+           if not l.startswith("##")]
+    exp = [l.rstrip("\n") for l in
+           open(os.path.join(SD, "small_S1.out.diploid.genome.vcf"))
+           if not l.startswith("##")]
+    assert got == exp
