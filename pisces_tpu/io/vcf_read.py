@@ -107,20 +107,30 @@ def iter_colocated(variants: Iterable[VcfVariant]) -> Iterator[List[VcfVariant]]
 
 
 def _genotype_from_string(gt: str, n_alts: int = 1) -> Genotype:
+    """VcfVariantUtilities.MapGTString (VcfVariantUtilities.cs:503-544):
+    phase separators are normalized away; unknown strings map to
+    RefLikeNoCall."""
+    gt = gt.replace("|", "/")
     mapping = {
         "1/1": Genotype.HOMOZYGOUS_ALT, "0/0": Genotype.HOMOZYGOUS_REF,
         "0/1": Genotype.HETEROZYGOUS_ALT_REF, "1/0": Genotype.HETEROZYGOUS_ALT_REF,
         "1/2": Genotype.HETEROZYGOUS_ALT1_ALT2,
-        "0/.": Genotype.REF_AND_NOCALL, "1/.": Genotype.ALT_AND_NOCALL,
-        "./1": Genotype.ALT_AND_NOCALL,
+        "2/1": Genotype.HETEROZYGOUS_ALT1_ALT2,
+        "0/.": Genotype.REF_AND_NOCALL, "./0": Genotype.REF_AND_NOCALL,
+        "1/.": Genotype.ALT_AND_NOCALL, "./1": Genotype.ALT_AND_NOCALL,
         "0": Genotype.HEMIZYGOUS_REF, "1": Genotype.HEMIZYGOUS_ALT,
-        ".": Genotype.HEMIZYGOUS_NOCALL, "2/2": Genotype.OTHERS,
+        ".": Genotype.HEMIZYGOUS_NOCALL,
+        "*/*": Genotype.OTHERS, "2/2": Genotype.OTHERS,
     }
     if gt in mapping:
         return mapping[gt]
     if gt == "./.":
-        return Genotype.ALT_LIKE_NOCALL if n_alts else Genotype.REF_LIKE_NOCALL
-    return Genotype.ALT_LIKE_NOCALL
+        if n_alts == 0:
+            return Genotype.REF_LIKE_NOCALL
+        if n_alts == 1:
+            return Genotype.ALT_LIKE_NOCALL
+        return Genotype.ALT12_LIKE_NOCALL
+    return Genotype.REF_LIKE_NOCALL
 
 
 def trim_trailing_bases(ref: str, alt: str) -> Tuple[str, str]:
@@ -215,8 +225,35 @@ def _is_rmxn(tag: str) -> bool:
     return True
 
 
-def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
-    """VcfVariantUtilities-style conversion incl. crushed-line unpacking."""
+def _trim_unsupported(allele) -> None:
+    """VcfVariantUtilities.TrimUnsupportedAlleleType (VcfVariantUtilities.cs:
+    320-354): rescue a complex allele by trimming trailing then preceding
+    agreement, always keeping one base of agreement; shifts the position by
+    the preceding trim."""
+    ref, alt = allele.ref_allele, allele.alt_allele
+    n_trail = 0
+    while (n_trail < min(len(ref), len(alt)) - 1
+           and ref[-1 - n_trail] == alt[-1 - n_trail]):
+        n_trail += 1
+    ref = ref[:len(ref) - n_trail]
+    alt = alt[:len(alt) - n_trail]
+    n_pre = 0
+    while (n_pre < min(len(ref), len(alt)) - 1
+           and ref[n_pre] == alt[n_pre]):
+        n_pre += 1
+    ref, alt = ref[n_pre:], alt[n_pre:]
+    allele.ref_allele, allele.alt_allele = ref, alt
+    allele.position += n_pre
+    allele.category = classify(ref, alt)
+
+
+def to_called_alleles(v: VcfVariant,
+                      should_trim: bool = False) -> List[CalledAllele]:
+    """AlleleReader.ConvertColumnsToVariant-style conversion incl.
+    crushed-line unpacking (AlleleReader.cs:93-250). Alleles keep their raw
+    REF/ALT strings — the reference never normalizes trailing agreement;
+    only Unsupported complex types are rescued, and only when should_trim
+    is set (the AlleleReader constructor default is False)."""
     alts = v.alt_allele.split(",")
     gts = v.genotypes
     out: List[CalledAllele] = []
@@ -235,7 +272,7 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
             ref, a = v.ref_allele, "."
             cat = AlleleCategory.REFERENCE
         else:
-            ref, a = trim_trailing_bases(v.ref_allele, alt)
+            ref, a = v.ref_allele, alt
             cat = classify(ref, a)
         allele = CalledAllele(v.chrom, v.position, ref,
                               a if a != "." else ref, cat)
@@ -243,7 +280,10 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
         allele.total_coverage = dp
         allele.filters = parse_filter_string(v.filters)
         if "GT" in gts:
-            allele.genotype = _genotype_from_string(gts["GT"], len(real_alts))
+            # numAlts counts every entry in the ALT column (AlleleReader.cs:
+            # 131-140), 0 when this allele is the ref line
+            allele.genotype = _genotype_from_string(
+                gts["GT"], 0 if alt == "." else len(alts))
         if "GQ" in gts:
             try:
                 allele.genotype_qscore = int(float(gts["GQ"]))
@@ -259,44 +299,44 @@ def to_called_alleles(v: VcfVariant) -> List[CalledAllele]:
                 allele.strand_bias_gatk = float(gts["SB"])
             except ValueError:
                 pass
-        # AD semantics (VcfVariantUtilities.cs): ref alleles have a single AD
-        # value; single-alt lines have refSupport,altSupport; CRUSHED
-        # multi-alt lines have per-alt supports only, and UnpackVariant
-        # (VcfVariantUtilities.cs:24-138) estimates
-        # refSupport = max(0, DP - sum(alt ADs)).
+        else:
+            # AlleleReader.cs:115 defaults GATK strand bias to -100
+            allele.strand_bias_gatk = -100.0
+        # AD semantics per AlleleReader.ConvertColumnsToVariant
+        # (AlleleReader.cs:176-217): ref lines read AD[0] as ref support;
+        # single-alt lines are refSupport,altSupport; on multi-alt lines
+        # whose AD has no more entries than alts (CRUSHED format), ref
+        # support is derived as max(0, DP - sum of the per-alt ADs) and
+        # each allele's support is AD[its full alt-list index].
+        def _ad(i):
+            try:
+                return int(ad_values[i])
+            except (IndexError, ValueError):
+                return 0
         if cat == AlleleCategory.REFERENCE:
             if ad_values and ad_values[0]:
-                allele.allele_support = int(ad_values[0])
+                allele.allele_support = _ad(0)
                 allele.reference_support = allele.allele_support
             if vf_values and vf_values[0]:
                 # VF on ref lines is the non-ref fraction
                 pass
-        elif len(real_alts) > 1:
-            # crushed line: AD index i aligns with the alt's index in the
-            # FULL alt list (skipped '*'/'<M>' entries keep their AD slot)
-            full_index = alts.index(alt)
-            ref_estimate = dp
-            for j, a2 in enumerate(alts):
-                if a2 in ("*", "<M>"):
-                    continue
-                if j < len(ad_values) and ad_values[j]:
-                    try:
-                        ref_estimate -= int(ad_values[j])
-                    except ValueError:
-                        pass
-            allele.reference_support = max(0, ref_estimate)
-            if full_index < len(ad_values) and ad_values[full_index]:
-                try:
-                    allele.allele_support = int(ad_values[full_index])
-                except ValueError:
-                    pass
-            alt_index += 1
         else:
-            if ad_values and ad_values[0]:
-                allele.reference_support = int(ad_values[0])
-            if len(ad_values) > 1 + alt_index:
-                allele.allele_support = int(ad_values[1 + alt_index])
+            ref_support = _ad(0)
+            alt_support = _ad(1) if len(ad_values) > 1 else 0
+            num_alts = len(alts)
+            if num_alts >= 2 and "AD" in gts:
+                full_index = alts.index(alt)
+                if len(ad_values) <= num_alts:
+                    total_alt = sum(_ad(j) for j in range(num_alts))
+                    alt_support = _ad(full_index)
+                    ref_support = max(0, dp - total_alt)
+                # else: AD lists ref first; keep AD[0]/AD[1] (reference
+                # keeps altSupport = AD[1] for every allele of the line)
+            allele.reference_support = ref_support
+            allele.allele_support = alt_support
             alt_index += 1
+        if should_trim and allele.category == AlleleCategory.UNSUPPORTED:
+            _trim_unsupported(allele)
         out.append(allele)
     return out
 

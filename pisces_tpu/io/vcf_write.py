@@ -257,6 +257,9 @@ class VcfFormatter:
             return dotnet_format(1.0 - first.frequency, d)
         gt = first.genotype
         if gt in (Genotype.HETEROZYGOUS_ALT1_ALT2, Genotype.ALT12_LIKE_NOCALL):
+            if total_depth == 0:
+                # C# double 0/0 -> NaN, printed "NaN" (VcfFormatter.cs:345)
+                return dotnet_format(float("nan"), d)
             s = sum(v.allele_support / total_depth for v in variants)
             return dotnet_format(s, d)
         return dotnet_format(first.frequency, d)
