@@ -353,11 +353,14 @@ def read_alleles(path: str) -> Iterator[CalledAllele]:
 # ---------------------------------------------------------------------------
 
 def update_vcf_loci_by_loci(in_path: str, out_path: str, update_fn,
-                            header_fn=None) -> None:
+                            header_fn=None, header_list_fn=None) -> None:
     """Stream a VCF, apply update_fn(group: List[VcfVariant]) ->
     Optional[List[str]] per co-located group (None = keep original lines,
-    [] = delete), write result. header_fn may transform header lines."""
+    [] = delete), write result. header_fn may transform header lines;
+    header_list_fn may restructure the whole header list first."""
     header, variants = read_header_and_variants(in_path)
+    if header_list_fn is not None:
+        header = header_list_fn(list(header))
     with open(out_path, "w", newline="\n") as out:
         for line in header:
             if header_fn is not None:

@@ -114,7 +114,14 @@ def _poisson_q(count, depth, noise, maxq) -> int:
 
 
 class ConsensusBuilder:
-    def __init__(self, min_frequency=0.01, min_frequency_filter=0.03,
+    """ConsensusBuilder.cs. NOTE: the default min_frequency_filter is -1,
+    the UNVALIDATED VariantCallingParameters default
+    (VariantCallingParameters.cs:60) — VennProcessor is constructed without
+    Validate() in the reference, so a one-sided ref (vf 0 is NOT < -1)
+    genotypes as ./. (AltLikeNoCall) rather than 0/0. Tests that set the
+    filter explicitly (HG19/C64, 0.03) get 0/0 instead."""
+
+    def __init__(self, min_frequency=0.01, min_frequency_filter=-1.0,
                  min_coverage=10, max_qscore=100,
                  probe_pool_bias_threshold=0.5):
         self.min_frequency = min_frequency
@@ -195,15 +202,18 @@ class ConsensusBuilder:
             alt_changed_to_ref = True
         cons.genotype = gt
 
-        # a pool with no record at the locus flags LowDP (before pool bias,
-        # so the filter string reads "LowDP;PB" like the reference)
-        if (a is None or b is None) and \
-                FilterType.LOW_DEPTH not in cons.filters:
-            cons.filters.append(FilterType.LOW_DEPTH)
+        # LowDP on consensus rows comes ONLY from the input lines' filters
+        # (CombineFilters = MergeFilters union, ConsensusBuilder.cs:485-488)
         self._pool_bias(cons, case, alt_a, alt_b, dp_a, dp_b, alt_changed_to_ref)
-        # per-pool components for the debug columns (VF0/VF1/AD0/AD1/DP0/DP1)
-        cons.pool_stats = (vf_a, vf_b, alt_a, alt_b, dp_a, dp_b,
-                           a is None, b is None)
+        # per-pool component alleles for the debug columns (VennVcfFormatter.
+        # AddCustomTags prints each component's OWN Frequency/AlleleSupport/
+        # TotalCoverage — for ref components that is the REF-supporting
+        # frequency and count, not 0)
+        cons.pool_stats = (
+            None if a is None else (a.frequency, a.allele_support,
+                                    a.total_coverage),
+            None if b is None else (b.frequency, b.allele_support,
+                                    b.total_coverage))
 
         if case == AGREED_ON_REFERENCE or alt_changed_to_ref or \
                 (case == CAN_NOT_COMBINE and alt_depth == 0):
@@ -215,9 +225,14 @@ class ConsensusBuilder:
                                              cons.noise_level_applied,
                                              self.max_qscore)
         cons.genotype_qscore = cons.variant_qscore
+        # Consensus.SetType() (ConsensusBuilder.cs:243): recompute the
+        # category from the combined ref/alt strings
         if cons.alt_allele in (".", cons.ref_allele):
             cons.category = AlleleCategory.REFERENCE
             cons.allele_support = cons.reference_support
+        else:
+            from pisces_tpu.io.vcf_read import classify
+            cons.category = classify(cons.ref_allele, cons.alt_allele)
         return cons
 
     def _genotype(self, a, b, case, total, vf, vf_a, vf_b) -> Genotype:
@@ -274,22 +289,52 @@ def _read_loci(path: str):
         yield (group[0].chrom, group[0].position), alleles, group
 
 
+def guess_sample_name(filename: str) -> Tuple[str, str]:
+    """VennProcessor.GuessSampleNameFromVcf (VennVcf.cs:72-91)."""
+    import re
+    m = re.match(r"^(.+)_S(\d+)(.genome)?(.cftr)?.vcf(.gz)?$", filename,
+                 re.IGNORECASE)
+    if m:
+        return m.group(1), "S" + m.group(2)
+    trimmed = (filename.replace(".vcf", "").replace(".gz", "")
+               .replace(".genome", ""))
+    return trimmed, trimmed
+
+
+def _venn_file_name(out_dir, op, names, nums, i, j):
+    """VennProcessor.GetVennFileName (VennVcf.cs:307-327)."""
+    if names[i] == names[j]:
+        if nums[i] != nums[j]:
+            fn = f"{names[i]}_{nums[i]}_{op}_{nums[j]}.vcf"
+        else:
+            fn = f"{names[i]}_{nums[i]}_dir{i}_{op}_{nums[j]}_dir{j}.vcf"
+    else:
+        fn = f"{names[i]}_{op}_{names[j]}.vcf"
+    return os.path.join(out_dir, fn)
+
+
 def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
                      consensus: bool = True,
-                     debug: bool = False) -> Dict[str, str]:
-    """Produces A-only / B-only / A-and-B venn VCFs + consensus VCF."""
+                     debug: bool = False,
+                     min_frequency: float = 0.01,
+                     min_frequency_filter: float = -1.0) -> Dict[str, str]:
+    """Produces the four A/B and/not venn VCFs + consensus VCF
+    (VennProcessor.DoPairwiseVenn). min_frequency_filter defaults to the
+    reference's unvalidated -1 (see ConsensusBuilder docstring)."""
     os.makedirs(out_dir, exist_ok=True)
-    name_a = os.path.basename(path_a).replace(".vcf", "")
-    name_b = os.path.basename(path_b).replace(".vcf", "")
+    names, nums = zip(*(guess_sample_name(os.path.basename(p))
+                        for p in (path_a, path_b)))
     paths = {
-        "a_only": os.path.join(out_dir, f"{name_a}_not_{name_b}.vcf"),
-        "b_only": os.path.join(out_dir, f"{name_b}_not_{name_a}.vcf"),
-        "both": os.path.join(out_dir, f"{name_a}_and_{name_b}.vcf"),
-        "consensus": os.path.join(out_dir, "consensus.vcf"),
+        "a_only": _venn_file_name(out_dir, "not", names, nums, 0, 1),
+        "b_only": _venn_file_name(out_dir, "not", names, nums, 1, 0),
+        "both": _venn_file_name(out_dir, "and", names, nums, 0, 1),
+        "b_and": _venn_file_name(out_dir, "and", names, nums, 1, 0),
+        "consensus": os.path.join(out_dir, "Consensus.vcf"),
     }
     header_a, _ = read_header_and_variants(path_a)
 
-    builder = ConsensusBuilder()
+    builder = ConsensusBuilder(min_frequency=min_frequency,
+                               min_frequency_filter=min_frequency_filter)
     files = {k: open(p, "w", newline="\n") for k, p in paths.items()}
     for k in files:
         for line in header_a:
@@ -304,7 +349,16 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
 
     def write_consensus(fh, c: CalledAllele):
         gt = c.genotype_str()
-        alt = c.alt_allele if c.category != AlleleCategory.REFERENCE else "."
+        # ref-like genotypes print ALT "." regardless of the combined alt
+        # string (VcfFileWriter ref-line rule, same as write_colocated)
+        alt = c.alt_allele
+        if (c.category == AlleleCategory.REFERENCE
+                or c.genotype in (Genotype.HOMOZYGOUS_REF,
+                                  Genotype.REF_LIKE_NOCALL,
+                                  Genotype.REF_AND_NOCALL,
+                                  Genotype.HEMIZYGOUS_NOCALL,
+                                  Genotype.HEMIZYGOUS_REF)):
+            alt = "."
         vf = 0.0 if c.total_coverage == 0 else c.allele_support / c.total_coverage
         if c.category == AlleleCategory.REFERENCE:
             vf = 0.0 if c.total_coverage == 0 else 1.0 - (c.reference_support / c.total_coverage)
@@ -324,15 +378,15 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
                f"{_sb_str(c.strand_bias_gatk)}:"
                f"{dotnet_format(getattr(c, 'pool_bias_gatk', -100.0), 4)}")
         if debug and getattr(c, "pool_stats", None) is not None:
-            vf_a, vf_b, alt_a, alt_b, dp_a, dp_b, na_a, na_b = c.pool_stats
-            def col(val, missing, fmt3=False):
-                if missing:
+            comp_a, comp_b = c.pool_stats
+            def col(comp, idx, fmt3=False):
+                if comp is None:
                     return "NA"
-                return dotnet_format(val, 3) if fmt3 else str(val)
+                return dotnet_format(comp[idx], 3) if fmt3 else str(comp[idx])
             fmt += ":VF0:VF1:AD0:AD1:DP0:DP1"
-            smp += (f":{col(vf_a, na_a, True)}:{col(vf_b, na_b, True)}"
-                    f":{col(alt_a, na_a)}:{col(alt_b, na_b)}"
-                    f":{col(dp_a, na_a)}:{col(dp_b, na_b)}")
+            smp += (f":{col(comp_a, 0, True)}:{col(comp_b, 0, True)}"
+                    f":{col(comp_a, 1)}:{col(comp_b, 1)}"
+                    f":{col(comp_a, 2)}:{col(comp_b, 2)}")
         fh.write("\t".join([
             c.chromosome, str(c.position), ".", c.ref_allele, alt,
             str(c.variant_qscore), filters, f"DP={c.total_coverage}",
@@ -346,8 +400,35 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
     def loc_key(item):
         return (item[0][0], item[0][1])
 
+    # chromosome ordering follows input A's ##contig list, falling back to
+    # the hg-style forced order then ordinal compare (ChrCompare.cs:9-40,
+    # AlleleCompareByLoci built from GetChrListFromVcfHeader, VcfVcf.cs:114)
+    contigs = []
+    for line in header_a:
+        if "##contig=<ID=" in line:
+            name = line.split("ID=")[1].split(",")[0]
+            if name not in contigs:
+                contigs.append(name)
+    if not contigs:
+        contigs = ["chr1", "chr2", "chr3", "chr4", "chr5, chr6", "chr7",
+                   "chr8", "chr9", "chr10", "chr11", "chr12", "chr13",
+                   "chr14", "chr15, chr16", "chr17", "chr18", "chr19",
+                   "chr20", "chr21", "chr22", "chrX", "chrY", "chrM"]
+    chr_rank = {c: i for i, c in enumerate(contigs)}
+
+    def loc_before(x, y):
+        """True if locus x orders at-or-before y."""
+        cx, cy = x[0], y[0]
+        if cx != cy:
+            rx, ry = chr_rank.get(cx), chr_rank.get(cy)
+            if rx is not None and ry is not None:
+                return rx < ry
+            return cx < cy  # ordinal, like String.Compare
+        return x[1] <= y[1]
+
     while item_a is not None or item_b is not None:
-        if item_b is None or (item_a is not None and loc_key(item_a) <= loc_key(item_b)):
+        if item_b is None or (item_a is not None
+                              and loc_before(loc_key(item_a), loc_key(item_b))):
             current = loc_key(item_a)
         else:
             current = loc_key(item_b)
@@ -368,6 +449,8 @@ def do_pairwise_venn(path_a: str, path_b: str, out_dir: str,
             if case == AGREED_ON_ALTERNATE:
                 if va is not None and not va.is_ref_type:
                     files["both"].write(_line_for(va, lines_a) + "\n")
+                if vb is not None and not vb.is_ref_type:
+                    files["b_and"].write(_line_for(vb, lines_b) + "\n")
             elif va is not None and not va.is_ref_type and (vb is None or vb.is_ref_type):
                 files["a_only"].write(_line_for(va, lines_a) + "\n")
             elif vb is not None and not vb.is_ref_type and (va is None or va.is_ref_type):

@@ -26,7 +26,9 @@ from pisces_tpu.io.vcf_read import (
 
 SNV_CATEGORIES = ["AtoC", "AtoG", "AtoT", "CtoA", "CtoG", "CtoT",
                   "GtoA", "GtoC", "GtoT", "TtoA", "TtoC", "TtoG"]
-ALL_CATEGORIES = SNV_CATEGORIES + ["Reference", "Deletion", "Insertion", "Other"]
+# file order matches the reference's counts files (Expected.counts):
+# the 12 substitutions, then Insertion, Deletion, Reference, Other
+ALL_CATEGORIES = SNV_CATEGORIES + ["Insertion", "Deletion", "Reference", "Other"]
 
 
 def mutation_category(ref: str, alt: str, filters: str = "") -> str:
@@ -148,18 +150,28 @@ def strain_vcf(vcf_path: str, extent: int = 4, loci_count: int = -1):
     for _ in range(extent):
         edge.add(None)
     if loci_count > 0:
+        # SignatureSorter overrides the denominator for BOTH counters with
+        # the supplied loci count (ExpectedGivenLociNum.{counts,edgecounts})
         basic.num_possible_variants = loci_count
-        edge.num_possible_variants = min(edge.num_possible_variants, loci_count)
+        edge.num_possible_variants = loci_count
     return basic, edge
 
 
+def _count_str(v: float) -> str:
+    """C# double.ToString(): integral values print without a decimal."""
+    return str(int(v)) if float(v).is_integer() else str(v)
+
+
 def write_counts_file(path: str, counts: CountData) -> None:
+    """MutationCounter counts-file layout, matching Expected.counts
+    line-for-line (CountsByCategory header, category block, blank line,
+    totals)."""
     with open(path, "w") as f:
         f.write("\nCountsByCategory\n")
         for cat, v in counts.counts_by_category.items():
-            f.write(f"{cat}\t{v}\n")
-        f.write("\nAllPossibleVariants\t%s\n" % counts.num_possible_variants)
-        f.write("VariantsCountedTowardEstimate\t%s\n" % counts.total_mutations)
+            f.write(f"{cat}\t{_count_str(v)}\n")
+        f.write("\nAllPossibleVariants\t%s\n" % _count_str(counts.num_possible_variants))
+        f.write("VariantsCountedTowardEstimate\t%s\n" % _count_str(counts.total_mutations))
         f.write("MismatchEstimate(%%)\t%.4f\n" % (counts.observed_mutation_rate * 100))
 
 
@@ -354,6 +366,50 @@ def recalibrate_with_counts(vcf_path: str, counts_path: str,
                                 filter_q, True, False)
 
 
+def _vqr_adjusted_header(header: List[str], cmdline: str) -> List[str]:
+    """VQRVcfWriter.WriteHeader + AdjustHeaderLines (VQRVcfWriter.cs:42-110):
+    filters the default Pisces writer config would emit but the original
+    header lacks (or words differently) are inserted after the last
+    ##FILTER line with a ', by VQR' suffix; the VQR version + cmdline
+    lines go after the first four original header lines."""
+    from pisces_tpu.io.vcf_write import VcfFormatter, VcfWriterConfig
+    from pisces_tpu.io.vcf_read import parse_filter_string
+    from pisces_tpu.options import PiscesApplicationOptions
+    from pisces_tpu.domain.types import FilterType
+
+    opts = PiscesApplicationOptions()
+    opts.vcf_writing_parameters.output_gvcf_file = True
+    gen = dict(VcfFormatter(VcfWriterConfig(opts)).generate_filter_strings())
+    for ft in (FilterType.RMXN, FilterType.INDEL_REPEAT_LENGTH,
+               FilterType.NO_CALL):
+        gen.pop(ft, None)
+
+    orig = {}
+    for line in header:
+        if line.startswith("##FILTER"):
+            fid = line.split(",")[0].replace("##FILTER=<ID=", "")
+            types = parse_filter_string(fid)
+            if len(types) == 1 and types[0] not in orig:
+                orig[types[0]] = line
+
+    out = list(header)
+    last = -1
+    for i, l in enumerate(out):
+        if "##FILTER" in l:
+            last = i
+    if last == -1:
+        last = max(len(out) - 2, -1)
+    for ft, line in gen.items():
+        if ft not in orig or line.strip() != orig[ft].strip():
+            last += 1
+            out.insert(last, line.replace('">', ', by VQR">'))
+
+    offset = min(4, len(out) - 1)
+    return (out[:offset]
+            + ["##VariantQualityRecalibrator=VQR 1.0.0.0", cmdline]
+            + out[offset:])
+
+
 def _apply_recalibration(vcf_path: str, out_path: str, basic_rates,
                          edge_rates, edge_suspects, max_q: int, filter_q: int,
                          do_basic: bool, do_edge: bool) -> str:
@@ -377,7 +433,10 @@ def _apply_recalibration(vcf_path: str, out_path: str, basic_rates,
                 out_lines.append(v.raw_line)
         return out_lines if changed else None
 
-    update_vcf_loci_by_loci(vcf_path, out_path, update)
+    cmdline = f"##VQR_cmdline=\"-vcf {vcf_path}\""
+    update_vcf_loci_by_loci(
+        vcf_path, out_path, update,
+        header_list_fn=lambda h: _vqr_adjusted_header(h, cmdline))
     return out_path
 
 

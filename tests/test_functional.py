@@ -134,3 +134,22 @@ class TestSampleS1:
                          intervals_text="chr19\t3110000\t3110009\n")
         assert len(got) == 10
         assert not any("\tA\tT\t" in l for l in got)
+
+
+def test_strand_bias_file_oracle(tmp_path, chr19_genome):
+    """StrandBiasFileWriterTests.Write_InFlow (StrandBiasFileWriterTests.cs:
+    105-160): calling SBWriter_Sample_S1.bam with -OutputBiasFiles emits a
+    ReadStrandBias.txt whose contents byte-match the shipped
+    Expected_Sample_S1.ReadStrandBias.txt (every variant row, no ref rows,
+    full per-strand stats table)."""
+    def configure(options):
+        options.output_bias_files = True
+    run_caller(tmp_path, os.path.join(TESTDATA, "SBWriter_Sample_S1.bam"),
+               chr19_genome, gvcf=True, configure=configure)
+    out = os.path.join(str(tmp_path),
+                       "SBWriter_Sample_S1.genome.ReadStrandBias.txt")
+    assert os.path.exists(out)
+    ours = [l.rstrip("\n") for l in open(out)]
+    exp = [l.rstrip("\n") for l in open(os.path.join(
+        TESTDATA, "Expected_Sample_S1.ReadStrandBias.txt"))]
+    assert ours == exp

@@ -335,14 +335,15 @@ class TestVennShippedExpected:
         paths = vennvcf.do_pairwise_venn(
             os.path.join(self.SD, "control_S15.vcf"),
             os.path.join(self.SD, "control_S18.vcf"), str(tmp_path),
-            debug=True)
+            debug=True, min_frequency_filter=0.03)
         assert self._body(paths["consensus"]) == self._body(
             os.path.join(self.SD, "ExpectedConsensus.vcf"))
 
     def test_consensus_gvcf_pair(self, tmp_path):
         paths = vennvcf.do_pairwise_venn(
             os.path.join(self.SD, "C64-Ct-4_S17.genome.vcf"),
-            os.path.join(self.SD, "C64-Ct-4_S18.genome.vcf"), str(tmp_path))
+            os.path.join(self.SD, "C64-Ct-4_S18.genome.vcf"), str(tmp_path),
+            min_frequency_filter=0.03)
         assert self._body(paths["consensus"]) == self._body(
             os.path.join(self.SD, "ExpectedConsensus2.vcf"))
 
@@ -400,3 +401,81 @@ class TestAdaptiveGtShippedExpected:
         assert ours[0] == exp[0]
         # ref rows are dropped in non-gvcf mode like the reference
         assert all(k[3] != "." for k in ours)
+
+
+def test_venn_grch37_five_file_parity(tmp_path):
+    """VennProcessorTests.VennVcf_FxnlTest_GRCH37 (VennProcessorTests.cs:
+    49-84): the consensus AND all four A/B and/not venn files byte-match
+    the shipped oracles. Exercises the UNVALIDATED default
+    MinimumFrequencyFilter=-1 (one-sided refs genotype ./.), the
+    contig-list chromosome ordering (ChrCompare), per-component debug
+    columns (ref components print their ref-supporting VF/AD), and the
+    reference's venn file naming (".genome" stripped)."""
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VennVcf.Tests/TestData")
+    paths = vennvcf.do_pairwise_venn(
+        os.path.join(SD, "GRCH37_S25.bam.genome.vcf"),
+        os.path.join(SD, "GRCH37_S30.bam.genome.vcf"),
+        str(tmp_path), debug=True)
+    assert os.path.basename(paths["both"]) == \
+        "GRCH37_S25.bam_and_GRCH37_S30.bam.vcf"
+    oracle = {"consensus": "Expected_GRCH37_Consensus.vcf",
+              "both": "Expected_GRCH37_S25.bam_and_GRCH37_S30.bam.vcf",
+              "a_only": "Expected_GRCH37_S25.bam_not_GRCH37_S30.bam.vcf",
+              "b_and": "Expected_GRCH37_S30.bam_and_GRCH37_S25.bam.vcf",
+              "b_only": "Expected_GRCH37_S30.bam_not_GRCH37_S25.bam.vcf"}
+
+    def body(path):
+        return [l.rstrip("\n") for l in open(path, encoding="utf-8-sig")
+                if not l.startswith("#") and l.strip()]
+
+    for key, exp in oracle.items():
+        assert body(paths[key]) == body(os.path.join(SD, exp)), key
+
+
+def test_vqr_counts_file_oracles(tmp_path):
+    """SignatureSorter_FFPETests.WriteCountsFile(+GivenLociCounts) and
+    SignatureSorter_AlignmentIssueTests.WriteEdgeCountsFile(+GivenLociCounts):
+    the emitted counts files byte-match the four shipped oracles, including
+    the MutationCounter category order, integral number formatting, and the
+    LociCount denominator override for both counters."""
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VariantQualityRecalibration.Tests/TestData")
+    cases = [
+        ("TestSignatureSorter.vcf", -1, 4, "basic", "Expected.counts"),
+        ("TestSignatureSorter.vcf", 1000, 4, "basic",
+         "ExpectedGivenLociNum.counts"),
+        ("FindEdges.vcf", -1, 2, "edge", "Expected.edgecounts"),
+        ("FindEdges.vcf", 1000, 2, "edge", "ExpectedGivenLociNum.edgecounts"),
+    ]
+    for vcf, loci, extent, which, oracle in cases:
+        basic, edge = vqr.strain_vcf(os.path.join(SD, vcf), extent=extent,
+                                     loci_count=loci)
+        out = str(tmp_path / oracle)
+        vqr.write_counts_file(out, basic if which == "basic" else edge)
+        ours = open(out).read().splitlines()
+        exp = open(os.path.join(SD, oracle)).read().splitlines()
+        assert ours == exp, oracle
+
+
+def test_vqr_rewriter_oracle(tmp_path):
+    """ProgramTests.CheckCommandLineArgumentHandling_HappyPath
+    (ProgramTests.cs:74-90): default-flag recalibration of
+    RewriterTest.phased.genome.vcf matches the shipped .recal oracle,
+    including the VQRVcfWriter header adjustment (version + cmdline lines
+    after the first four, and the ', by VQR' q30/SB filter lines inserted
+    after the last original ##FILTER). The cmdline line embeds the local
+    path and is skipped, as TestHelper.CompareFiles does."""
+    SD = os.path.join(conftest.REFERENCE_ROOT,
+                      "src/test/VariantQualityRecalibration.Tests/TestData")
+    src = str(tmp_path / "RewriterTest.phased.genome.vcf")
+    import shutil
+    shutil.copy(os.path.join(SD, "RewriterTest.phased.genome.vcf"), src)
+    assert vqr.main(["-vcf", src]) in (0, None)
+
+    def body(path):
+        return [l.rstrip("\n") for l in open(path, encoding="utf-8-sig")
+                if "_cmdline=" not in l]
+
+    assert body(src + ".recal") == body(
+        os.path.join(SD, "ExpectedRewriterTest.phased.genome.vcf.recal"))
