@@ -24,74 +24,231 @@ from pisces_tpu.io.vcf_read import (
 GT_STRINGS = {0: "0/0", 1: "0/1", 2: "1/1"}
 
 
-def _variant_kind(ref: str, alt: str) -> str:
-    if alt == ".":
+# --- faithful port of VariantReader.GetVariantFrequencies ------------------
+# (tools/AdaptiveGenotyper/VariantReader.cs:36-307). Reference lines with
+# non-ref VF < 0.02 are SKIPPED (only noisy refs feed the hom-ref
+# component); refs that survive go to BOTH collections; MNVs count as
+# indels; non-digit chromosomes (chrX/chrY/chrM) are excluded; multi-
+# allelic and within-deletion loci get the reference's special handling.
+
+_MULTIALLELIC_THRESHOLD = 0.8
+_HET_THRESHOLD = 0.2
+_HOMALT_THRESHOLD = 0.7
+
+
+def _has_alt(a) -> bool:
+    from pisces_tpu.domain.types import Genotype
+    return a.genotype in (Genotype.ALT_AND_NOCALL, Genotype.HOMOZYGOUS_ALT,
+                          Genotype.HETEROZYGOUS_ALT1_ALT2,
+                          Genotype.HETEROZYGOUS_ALT_REF)
+
+
+def _alt_support(a) -> int:
+    """VariantReader.GetAlternateAlleleSupport."""
+    if _has_alt(a):
+        return a.allele_support
+    return a.total_coverage - a.allele_support
+
+
+def _alt_vf(a) -> float:
+    """VariantReader.GetAlternateAlleleFrequency."""
+    if _has_alt(a):
+        return a.frequency
+    if a.total_coverage == 0:
+        return float("nan")
+    return _alt_support(a) / a.total_coverage
+
+
+def _variant_type(a) -> str:
+    """VariantReader.GetVariantType: SNVs only; any longer allele (incl.
+    MNVs) is 'indel'; ref rows are 'none'."""
+    if a.category == AlleleCategory.REFERENCE:
         return "none"
-    cat = classify(ref, alt)
-    if cat in (AlleleCategory.SNV, AlleleCategory.MNV):
+    if a.category == AlleleCategory.SNV:
         return "snv"
-    if cat in (AlleleCategory.INSERTION, AlleleCategory.DELETION):
+    if len(a.ref_allele) > 1 or len(a.alt_allele) > 1:
         return "indel"
-    return "none"
+    return "error"
 
 
-def _observation(v: VcfVariant) -> Optional[Tuple[str, int, int]]:
-    """(kind, ad, dp) for a usable locus (VariantReader semantics:
-    skip LowDepth, skip forced, use alt support for variants and non-ref
-    count for reference loci)."""
-    if "LowDP" in v.filters or "ForcedReport" in v.filters:
-        return None
-    gts = v.genotypes
-    try:
-        dp = int(gts.get("DP", v.info_fields.get("DP", "0")) or 0)
-    except ValueError:
-        return None
-    if dp == 0:
-        return None
-    ad = gts.get("AD", "").split(",")
-    alt = v.alt_allele.split(",")[0]
-    kind = _variant_kind(v.ref_allele, alt)
-    if kind == "none":
-        # reference line: observation is the non-ref count
-        try:
-            ref_support = int(ad[0]) if ad and ad[0] else 0
-        except ValueError:
-            return None
-        k = max(dp - ref_support, 0)
-        if dp > 0 and k / dp < 0.02:
-            pass  # still counted (hom-ref cluster)
-        return ("snv", k, dp)
-    try:
-        k = int(ad[1]) if len(ad) > 1 else 0
-    except ValueError:
-        return None
-    return (kind, k, dp)
+def _should_skip(a) -> bool:
+    """VariantReader.ShouldSkipVariant (VariantReader.cs:248-266)."""
+    from pisces_tpu.domain.types import FilterType
+    if FilterType.LOW_DEPTH in a.filters:
+        return True
+    vf = _alt_vf(a)
+    if vf < 0.02 and len(a.ref_allele) == len(a.alt_allele):
+        return True
+    if len(a.ref_allele) != len(a.alt_allele) and vf == 1:
+        return True
+    return False
+
+
+class _Collection:
+    """RecalibratedVariantsCollection (ad/dp lists keyed by chr:pos)."""
+
+    def __init__(self):
+        self.keys: List[str] = []
+        self.ad: List[int] = []
+        self.dp: List[int] = []
+
+    def add(self, a) -> None:
+        dp = a.total_coverage
+        ad = _alt_support(a)
+        if dp >= adaptive.MAX_EFFECTIVE_DEPTH:
+            ad = int(ad / dp * adaptive.MAX_EFFECTIVE_DEPTH)
+            dp = adaptive.MAX_EFFECTIVE_DEPTH
+        self.keys.append(f"{a.chromosome}:{a.position}")
+        self.ad.append(ad)
+        self.dp.append(dp)
+
+    def remove_last(self) -> None:
+        self.keys.pop()
+        self.ad.pop()
+        self.dp.pop()
+
+
+def _read_uncrushed_alleles(vcf_path: str):
+    from pisces_tpu.io.vcf_read import to_called_alleles
+    _, variants = read_header_and_variants(vcf_path)
+    for v in variants:
+        alleles = to_called_alleles(v)
+        if len(alleles) > 1:
+            raise ValueError("Input file should not have crushed variants")
+        if alleles:
+            yield alleles[0]
+
+
+def _process_multiallelic(last_var, variant, nxt, snv: _Collection,
+                          indel: _Collection):
+    """VariantReader.ProcessMultiAllelicVariant (VariantReader.cs:171-246)."""
+    variants = [last_var, variant]
+    vf = [_alt_vf(last_var), _alt_vf(variant)]
+    top = sorted(range(2), key=lambda i: vf[i])
+    top.reverse()
+    ref_vf = 1 - vf[0] - vf[1]
+
+    curr = 2
+    while True:
+        variant = nxt()
+        if variant is None or not (variant.chromosome == last_var.chromosome
+                                   and variant.position == last_var.position):
+            break
+        variants.append(variant)
+        new_vf = _alt_vf(variant)
+        vf.append(new_vf)
+        if new_vf > vf[top[0]]:
+            top[1] = top[0]
+            top[0] = curr
+        elif new_vf > vf[top[1]]:
+            top[1] = curr
+        ref_vf -= vf[curr]
+        curr += 1
+        last_var = variant
+
+    t0 = _variant_type(variants[0])
+    if t0 == "snv":
+        snv.remove_last()
+    elif t0 == "indel":
+        indel.remove_last()
+
+    ta, tb = _variant_type(variants[top[0]]), _variant_type(variants[top[1]])
+    if ta == "snv" and tb == "snv":
+        curr_loci = snv
+    elif ta == "indel" and tb == "indel":
+        curr_loci = indel
+    else:
+        return variant
+
+    if ((curr_loci is indel
+         or _alt_vf(variants[top[0]]) + _alt_vf(variants[top[1]])
+         > _MULTIALLELIC_THRESHOLD
+         or _alt_vf(variants[top[0]]) + ref_vf > _MULTIALLELIC_THRESHOLD)
+            and not _should_skip(variants[top[0]])
+            and not (vf[top[0]] > _HET_THRESHOLD
+                     and vf[top[0]] < _HOMALT_THRESHOLD
+                     and vf[top[1]] > _HET_THRESHOLD)):
+        curr_loci.add(variants[top[0]])
+    return variant
+
+
+def _process_deletion(deletion_var, variant, nxt, snv: _Collection,
+                      indel: _Collection):
+    """VariantReader.ProcessDeletion (VariantReader.cs:125-169)."""
+    from pisces_tpu.domain.types import Genotype
+    for _i in range(1, len(deletion_var.ref_allele)):
+        if variant is None:
+            break
+        if _should_skip(variant):
+            continue
+        if _has_alt(variant):
+            (snv if _variant_type(variant) == "snv" else indel).add(variant)
+        last_var = variant
+        variant = nxt()
+        if variant is None:
+            break
+        if (variant.chromosome == last_var.chromosome
+                and variant.position == last_var.position
+                and _has_alt(last_var)):
+            (snv if _variant_type(last_var) == "snv" else indel).remove_last()
+        while (variant is not None
+               and variant.position == last_var.position
+               and variant.chromosome == last_var.chromosome):
+            last_var = variant
+            variant = nxt()
+        if variant is None:
+            break
+        if (variant.position > deletion_var.position
+                + len(deletion_var.ref_allele) - 1
+                and variant.chromosome == deletion_var.chromosome):
+            break
+    return variant
+
+
+def get_variant_frequencies(vcf_path: str) -> Tuple[_Collection, _Collection]:
+    """VariantReader.GetVariantFrequencies (VariantReader.cs:36-100)."""
+    from pisces_tpu.domain.types import Genotype
+    snv, indel = _Collection(), _Collection()
+    stream = _read_uncrushed_alleles(vcf_path)
+
+    def nxt():
+        return next(stream, None)
+
+    last_var = None
+    variant = nxt()
+    while variant is not None:
+        if (last_var is not None
+                and variant.chromosome == last_var.chromosome
+                and variant.position == last_var.position):
+            variant = _process_multiallelic(last_var, variant, nxt, snv, indel)
+        if (last_var is not None and variant is not None
+                and len(last_var.ref_allele) > 1
+                and last_var.genotype != Genotype.HOMOZYGOUS_REF
+                and variant.position == last_var.position + 1):
+            variant = _process_deletion(last_var, variant, nxt, snv, indel)
+        if variant is None:
+            break
+        if _should_skip(variant) or not any(c.isdigit()
+                                            for c in variant.chromosome):
+            variant = nxt()
+            continue
+        vt = _variant_type(variant)
+        if vt == "none":
+            snv.add(variant)
+            indel.add(variant)
+        elif vt == "snv":
+            snv.add(variant)
+        elif vt == "indel":
+            indel.add(variant)
+        last_var = variant
+        variant = nxt()
+    return snv, indel
 
 
 def collect_observations(vcf_path: str):
-    snv_ad, snv_dp, indel_ad, indel_dp = [], [], [], []
-    _, variants = read_header_and_variants(vcf_path)
-    last_pos = None
-    for v in variants:
-        if (v.chrom, v.position) == last_pos:
-            continue  # multiallelic: only first allele counted
-        last_pos = (v.chrom, v.position)
-        obs = _observation(v)
-        if obs is None:
-            continue
-        kind, ad, dp = obs
-        ad = min(ad, dp)
-        if dp > adaptive.MAX_EFFECTIVE_DEPTH:
-            ad = int(ad / dp * adaptive.MAX_EFFECTIVE_DEPTH)
-            dp = adaptive.MAX_EFFECTIVE_DEPTH
-        if kind == "snv":
-            snv_ad.append(ad)
-            snv_dp.append(dp)
-        else:
-            indel_ad.append(ad)
-            indel_dp.append(dp)
-    return (np.array(snv_ad), np.array(snv_dp),
-            np.array(indel_ad), np.array(indel_dp))
+    snv, indel = get_variant_frequencies(vcf_path)
+    return (np.array(snv.ad), np.array(snv.dp),
+            np.array(indel.ad), np.array(indel.dp))
 
 
 def write_model_file(path: str, models) -> None:
@@ -176,10 +333,19 @@ def make_locus_update(snv_model, indel_model, output_gvcf: bool = False):
                 f"DP={total_depth}\t{fmt}\t{smp}")
 
     def update(group: List[VcfVariant]):
-        if group[0].chrom.lower() in ("chrm", "mt"):
-            return None  # chrM stays somatic (GetPloidyForThisChr)
+        from pisces_tpu.genotype import get_ploidy_for_chr
         alleles = [a for v in group for a in to_called_alleles(v)]
         if not alleles:
+            return None
+        if get_ploidy_for_chr(PloidyModel.DIPLOID_BY_ADAPTIVE_GT, False,
+                              group[0].chrom) != \
+                PloidyModel.DIPLOID_BY_ADAPTIVE_GT:
+            # chrM (somatic) / chrY (haploid, IsMale=false): untouched,
+            # but LocusProcessor.GetTypeOfUpdate still deletes ref-like
+            # rows when not emitting gVCF (LocusProcessor.cs:15-60)
+            if not output_gvcf and alleles[0].genotype in (
+                    Genotype.HOMOZYGOUS_REF, Genotype.REF_LIKE_NOCALL):
+                return []
             return None
         variants = [a for a in alleles
                     if a.category != AlleleCategory.REFERENCE]
@@ -252,28 +418,43 @@ def recalibrate(vcf_path: str, out_dir: Optional[str] = None,
         snv_model = models[0]
         indel_model = models[1] if len(models) > 1 else models[0]
     else:
+        # BUG-COMPATIBLE with the reference: MixtureModel.FitMixtureModel
+        # passes the STATIC _defaultMeans array by reference and the ctor
+        # stores it without copying (MixtureModel.cs:70,103-119,415-425), so
+        # the SNV fit mutates the shared array, the indel fit STARTS from
+        # the SNV-fitted means, and afterwards BOTH models alias the same
+        # (indel-final) means — the model file records them twice and SNV
+        # recalibration uses the indel means. Weights stay per-model.
         if use_jax:
-            snv_model = adaptive.fit_mixture_model_jax(snv_ad, snv_dp)
-            indel_model = (adaptive.fit_mixture_model_jax(indel_ad, indel_dp)
-                           if len(indel_ad) > 10 else snv_model)
+            fit_fn = adaptive.fit_mixture_model_jax
+            raise NotImplementedError(
+                "jax fit does not support chained starting means")
+        fit = adaptive.fit_mixture_model(snv_ad, snv_dp)
+        if len(indel_ad) > 0:
+            ifit = adaptive.fit_mixture_model(indel_ad, indel_dp,
+                                              starting_means=fit.means)
+            shared_means = ifit.means
+            indel_weights = ifit.weights
         else:
-            fit = adaptive.fit_mixture_model(snv_ad, snv_dp)
-            snv_model = (fit.means, fit.weights)
-            if len(indel_ad) > 10:
-                ifit = adaptive.fit_mixture_model(indel_ad, indel_dp)
-                indel_model = (ifit.means, ifit.weights)
-            else:
-                indel_model = snv_model
+            shared_means = fit.means
+            indel_weights = fit.weights
+        snv_model = (shared_means, fit.weights)
+        indel_model = (shared_means, indel_weights)
         write_model_file(
             os.path.join(out_dir,
                          os.path.basename(vcf_path).replace(".vcf", ".model")),
             [snv_model, indel_model])
 
-    out_path = os.path.join(out_dir,
-                            os.path.basename(vcf_path) + ".recal")
+    # AdaptiveGtWriter.RewriteVcf naming (AdaptiveGtWriter.cs:50-56)
+    base = os.path.basename(vcf_path)
+    if "genome." in base:
+        out_name = base.replace("genome", "recal")
+    else:
+        out_name = base.replace(".vcf", ".recal.vcf")
+    out_path = os.path.join(out_dir, out_name)
 
-    update = make_locus_update(snv_model, indel_model,
-                               output_gvcf=vcf_path.endswith(".genome.vcf"))
+    # AdaptiveGtOptions: OutputGvcfFile always false (AdaptiveGtOptions.cs:22)
+    update = make_locus_update(snv_model, indel_model, output_gvcf=False)
 
     def header_fn(line: str):
         if line.startswith("#CHROM"):
