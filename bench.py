@@ -234,7 +234,7 @@ def bench_end_to_end(tmp="/tmp/pisces_tpu_bench", use_device=True):
     return n_reads / dt, lines / dt
 
 
-def bench_end_to_end_wes(tmp="/tmp/pisces_tpu_bench_wes", threads: int = 4,
+def bench_end_to_end_wes(tmp="/tmp/pisces_tpu_bench_wes", threads: int = 0,
                          use_device: bool = True):
     """Multi-threaded end-to-end wall clock on a WES-scale-shaped synthetic
     workload (multi-chromosome, planted variants, gVCF): the honest proxy
@@ -247,6 +247,11 @@ def bench_end_to_end_wes(tmp="/tmp/pisces_tpu_bench_wes", threads: int = 4,
     from pisces_tpu.options import PiscesApplicationOptions
     from pisces_tpu.parallel.scheduler import process_bams_parallel
 
+    if threads <= 0:
+        # threads <= cores, the reference's own clamp
+        # (PiscesApplicationOptions.cs:73-80): oversubscription measured
+        # 2.5x slower on a 2-core box
+        threads = max(1, min(4, os.cpu_count() or 1))
     n_chroms, chrom_len, n_reads = 4, 600_000, 160_000
     bam, gdir = _write_synthetic_workload(tmp, n_chroms, chrom_len, n_reads,
                                           variant_rate=0.01)
@@ -375,8 +380,9 @@ def _stage_main(stage: str) -> None:
               f"gvcf loci/s (single thread, {backend} scoring)", flush=True)
     elif stage == "wes":
         host_r, host_l, host_w = bench_end_to_end_wes(use_device=False)
+        n_thr = max(1, min(4, os.cpu_count() or 1))
         print(f"STAGE WES-scale e2e (4 chrom, 160k reads, planted variants, "
-              f"4 threads, host scoring): {host_w:.1f}s wall = "
+              f"{n_thr} threads, host scoring): {host_w:.1f}s wall = "
               f"{host_r:,.0f} reads/s, {host_l:,.0f} gvcf loci/s. "
               f"NOTE: no dotnet runtime in this environment; BASELINE.md's "
               f">=10x-vs-dotnet target is tracked via this committed "
