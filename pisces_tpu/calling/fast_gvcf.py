@@ -381,7 +381,8 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
     rendered = render_reference_lines(chrom + "\t", positions, inv,
                                       ref_base, tails)
     if rendered is not None:
-        return RefLineBlock(rendered[0], rendered[1])
+        blob, off, owner = rendered
+        return RefLineBlock(blob, off, owner)
 
     pos_l = positions.tolist()
     inv_l = inv.tolist()
@@ -394,26 +395,41 @@ def format_reference_lines(chrom: str, positions: np.ndarray, out: dict,
 class RefLineBlock:
     """Reference VCF lines as one rendered byte blob + [n+1] line offsets
     (C++ render_ref_lines output): bulk runs write as single buffer slices
-    instead of n Python string objects."""
+    instead of n Python string objects. `blob` may be a memoryview into the
+    native render buffer — `owner` keeps that buffer alive for the lifetime
+    of this block and of every slice() sharing it (zero-copy end to end:
+    C++ render buffer → fh.buffer.write)."""
 
-    __slots__ = ("blob", "off")
+    __slots__ = ("blob", "off", "owner")
 
-    def __init__(self, blob: bytes, off: np.ndarray):
+    def __init__(self, blob, off: np.ndarray, owner=None):
         self.blob = blob
         self.off = off
+        self.owner = owner
 
     def __len__(self) -> int:
         return len(self.off) - 1
 
     def line(self, i: int) -> str:
         """Line i without its trailing newline."""
-        return self.blob[self.off[i]:self.off[i + 1] - 1].decode("latin-1")
+        return bytes(self.blob[self.off[i]:self.off[i + 1] - 1]).decode(
+            "latin-1")
 
     def write_range(self, fh, i: int, j: int) -> None:
-        if j > i:
-            fh.write(self.blob[self.off[i]:self.off[j]].decode("latin-1"))
+        if j <= i:
+            return
+        raw = getattr(fh, "buffer", None)
+        if raw is not None:
+            # bypass the TextIOWrapper (its utf-8 encode would copy the
+            # whole run); flush first so interleaved text writes stay
+            # ordered. VCF bodies are pure ASCII.
+            fh.flush()
+            raw.write(self.blob[self.off[i]:self.off[j]])
+        else:
+            fh.write(bytes(self.blob[self.off[i]:self.off[j]]).decode(
+                "latin-1"))
 
     def slice(self, i: int, j: int) -> "RefLineBlock":
         base = self.off[i]
         return RefLineBlock(self.blob[base:self.off[j]],
-                            self.off[i:j + 1] - base)
+                            self.off[i:j + 1] - base, self.owner)

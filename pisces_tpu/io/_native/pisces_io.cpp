@@ -672,10 +672,15 @@ void* render_ref_lines(const char* prefix, int64_t prefix_len, int64_t n,
   // estimate: prefix + 10-digit pos + 3 + 1 + avg tail 64
   out->blob.reserve((size_t)n * (prefix_len + 78));
   char digits[24];
+  char* const dend = digits + sizeof digits;
   for (int64_t i = 0; i < n; i++) {
     out->blob.append(prefix, prefix_len);
-    int len = snprintf(digits, sizeof digits, "%lld", (long long)pos[i]);
-    out->blob.append(digits, len);
+    // manual itoa (positions are non-negative): ~6x faster than snprintf
+    // on this loop, which renders every gVCF locus
+    char* dp = dend;
+    int64_t v = pos[i];
+    do { *--dp = (char)('0' + (v % 10)); v /= 10; } while (v > 0);
+    out->blob.append(dp, dend - dp);
     out->blob.append("\t.\t", 3);
     out->blob.push_back((char)bases[i]);
     int64_t t = inv[i];

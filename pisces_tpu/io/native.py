@@ -486,12 +486,38 @@ def _bind_render(lib) -> None:
     lib._render_bound = True
 
 
+class _RenderedBlobOwner:
+    """Owns a render_ref_lines C++ result: exposes the blob as a zero-copy
+    memoryview; frees the native buffer when the last Python reference
+    (including every RefLineBlock slice sharing it) is dropped."""
+
+    __slots__ = ("_lib", "_h", "mv", "off")
+
+    def __init__(self, lib, h, n: int):
+        self._lib = lib
+        self._h = h
+        blob_len = lib.rl_blob_len(h)
+        buf = (ctypes.c_char * blob_len).from_address(lib.rl_blob(h))
+        self.mv = memoryview(buf).cast("B")
+        # offsets are copied (small) so they outlive nothing native
+        self.off = np.array(_as_array(lib.rl_line_off(h), n + 1, np.int64))
+
+    def __del__(self):
+        try:
+            self.mv.release()
+        except Exception:
+            pass
+        self._lib.rl_free(self._h)
+
+
 def render_reference_lines(prefix: str, positions: np.ndarray,
                            inv: np.ndarray, bases: np.ndarray,
                            tails: list):
     """C++ rendering of per-locus gVCF reference lines: one blob + [n+1]
     line offsets (fast_gvcf.format_reference_lines hot tail). Returns
-    (blob_bytes, offsets) or None when the native library is unavailable."""
+    (blob_memoryview, offsets, owner) — zero-copy into the C++ buffer,
+    which lives until `owner` is garbage-collected — or None when the
+    native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -511,12 +537,8 @@ def render_reference_lines(prefix: str, positions: np.ndarray,
         inv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         bases_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         tails_blob, tail_off_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-    try:
-        blob = ctypes.string_at(lib.rl_blob(h), lib.rl_blob_len(h))
-        offsets = _as_array(lib.rl_line_off(h), n + 1, np.int64)
-    finally:
-        lib.rl_free(h)
-    return blob, offsets
+    owner = _RenderedBlobOwner(lib, h, n)
+    return owner.mv, owner.off, owner
 
 
 def _bind_bgzfc(lib) -> None:
