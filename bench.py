@@ -442,6 +442,19 @@ def _stage_main(stage: str) -> None:
         print(f"STAGE gemini preprocess (stitch+realign, real "
               f"Chr17Chr19.bam): {n_reads:,} reads in {dt:.2f}s = "
               f"{n_reads / dt:,.0f} reads/s, {n_out:,} reads out", flush=True)
+    elif stage == "titration":
+        from pisces_tpu.apps.titration import run_titration
+        t0 = time.perf_counter()
+        points = run_titration("/tmp/pisces_tpu_bench_titr",
+                               sites_per_point=25, depth=800,
+                               use_device=use_device)
+        dt = time.perf_counter() - t0
+        parts = "; ".join(
+            f"VF {p.vf:.0%}: R {p.recall:.2f} P {p.precision:.2f}"
+            for p in sorted(points.values(), key=lambda p: p.vf))
+        print(f"STAGE somatic titration accuracy (planted truth, canonical "
+              f"somatic flags, {backend} scoring, {dt:.0f}s): {parts}",
+              flush=True)
     elif stage == "candidates":
         rate = bench_candidates()
         print(f"STAGE candidate-path kernel: {rate:,.0f} candidates/s/chip "
@@ -492,6 +505,7 @@ def main():
 
     for stage, timeout_s in [("e2e", 240), ("wes", 300), ("real", 240),
                              ("gemini", 180), ("scylla", 180),
+                             ("titration", 240),
                              ("candidates", 180), ("pallas", 360)]:
         _run_stage(stage, timeout_s)
 
