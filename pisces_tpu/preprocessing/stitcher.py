@@ -271,11 +271,16 @@ def _add_read(positions: List[_Pos], expanded: List[str], bases: str,
     """AddR1ToList/AddR2ToList: ref-span ops land in MappedSite at
     consecutive offsets; S/I ops pile into the UnmappedPrefix of the
     current offset."""
+    # exact preallocation: ref_pos advances once per ref-span op; a
+    # trailing S/I group additionally needs the slot it piles into
+    n_ref = sum(1 for op in expanded if op in _REF_SPAN)
+    target = start_offset + n_ref + (
+        1 if expanded and expanded[-1] not in _REF_SPAN else 0)
+    while len(positions) < target:
+        positions.append(_Pos())
     ref_pos = start_offset
     idx = 0
     for op in expanded:
-        while ref_pos >= len(positions):
-            positions.append(_Pos())
         if op in _REF_SPAN:
             if op == "D" or op == "N":
                 item = (op, None, None)
@@ -480,6 +485,19 @@ def _reconcile_site(site: _Site, info: _Info, cur: _Cursor,
     """ReconcileSite (CigarReconciler.cs:668-832)."""
     n1 = len(site.r1)
     n2 = len(site.r2)
+    if n1 == 1 and n2 == 1:
+        item1 = site.r1[0]
+        item2 = site.r2[0]
+        if item1[0] == "M" and item2[0] == "M":
+            # the dominant case — plain M-over-M overlap: none of the
+            # softclip/probe machinery below applies to M ops
+            info.cigar.append("M")
+            cur.in_r1 += 1
+            cur.in_r2 += 1
+            info.dirs.append("S")
+            _merge_stitched_base(info, item1, item2, r1_dir,
+                                 r1_is_first_mate, min_bq, nify)
+            return True
     offset = abs(n1 - n2)
     r1_longer = n1 > n2
     for j in range(max(n1, n2)):
@@ -551,6 +569,9 @@ def _reconcile_site(site: _Site, info: _Info, cur: _Cursor,
 
 
 def _has_incompatible_insertion(pos: _Pos, before: Optional[_Pos]) -> bool:
+    um = pos.unmapped
+    if not um.r1 and not um.r2:
+        return False  # no unmapped ops here — nothing to be incompatible
     for read1 in (True, False):
         other = not read1
         if (not pos.unmapped.ops(other) and pos.unmapped.has_insertion(read1)
