@@ -276,7 +276,7 @@ def _out_dict(out_i, out_f, L):
 
 def _run_pallas(kernel, packed, n_in_rows, Lp, interpret):
     grid = (Lp // TILE,)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         kernel,
         grid=grid,
