@@ -301,11 +301,20 @@ def bench_real_bams(tmp="/tmp/pisces_tpu_bench_real", use_device=True):
             reader.fetch(ref_id=reader.header.ref_index(c)).n
             for c in genome.chromosome_names
             if c in reader.header.ref_names)
+        # cold = first call in this process (includes lazy imports + FASTA
+        # scan + jit); steady = per-run wall once warm. These BAMs are tiny
+        # (1-5k reads), so steady-state is the number comparable to a real
+        # WES/WGS run where one-time costs amortize to nothing.
         t0 = time.perf_counter()
         vcf = process_bam(o, bam_path, genome, use_device=use_device)
-        dt = time.perf_counter() - t0
+        cold = time.perf_counter() - t0
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            vcf = process_bam(o, bam_path, genome, use_device=use_device)
+        dt = (time.perf_counter() - t0) / iters
         n_lines = sum(1 for l in open(vcf) if not l.startswith("#"))
-        out.append((name, int(n_reads), dt, n_lines))
+        out.append((name, int(n_reads), dt, n_lines, cold))
     return out
 
 
@@ -397,11 +406,13 @@ def _stage_main(stage: str) -> None:
                   f"{wes_wall:.1f}s wall = {wes_reads:,.0f} reads/s",
                   flush=True)
     elif stage == "real":
-        for name, n_reads, dt, n_lines in bench_real_bams(
+        for name, n_reads, dt, n_lines, cold in bench_real_bams(
                 use_device=use_device):
             print(f"STAGE real-data e2e {name}: {n_reads:,} reads in "
-                  f"{dt:.2f}s = {n_reads / dt:,.0f} reads/s, {n_lines} vcf "
-                  f"lines ({backend} scoring)", flush=True)
+                  f"{dt:.3f}s steady-state = {n_reads / dt:,.0f} reads/s "
+                  f"(cold first-run {cold:.2f}s = {n_reads / cold:,.0f} "
+                  f"reads/s), {n_lines} vcf lines ({backend} scoring)",
+                  flush=True)
     elif stage == "scylla":
         import shutil
 
@@ -437,24 +448,49 @@ def _stage_main(stage: str) -> None:
         n_reads = BamReader(bam).fetch(None).n
         t0 = time.perf_counter()
         out = run_gemini(bam, gdir, os.path.join(tmp, "out.bam"))
-        dt = time.perf_counter() - t0
+        cold = time.perf_counter() - t0
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = run_gemini(bam, gdir, os.path.join(tmp, "out.bam"))
+        dt = (time.perf_counter() - t0) / iters
         n_out = BamReader(out).fetch(None).n
         print(f"STAGE gemini preprocess (stitch+realign, real "
-              f"Chr17Chr19.bam): {n_reads:,} reads in {dt:.2f}s = "
-              f"{n_reads / dt:,.0f} reads/s, {n_out:,} reads out", flush=True)
+              f"Chr17Chr19.bam): {n_reads:,} reads in {dt:.3f}s "
+              f"steady-state = {n_reads / dt:,.0f} reads/s (cold first-run "
+              f"{cold:.2f}s = {n_reads / cold:,.0f} reads/s), "
+              f"{n_out:,} reads out", flush=True)
     elif stage == "titration":
+        # host scoring: accuracy is identical (byte-parity pinned in tests)
+        # and the stage must land inside its budget — per-batch device
+        # dispatch over the axon tunnel pays ~40ms RTT each and timed out
+        # in round 3
         from pisces_tpu.apps.titration import run_titration
         t0 = time.perf_counter()
         points = run_titration("/tmp/pisces_tpu_bench_titr",
                                sites_per_point=25, depth=800,
-                               use_device=use_device)
+                               use_device=False)
         dt = time.perf_counter() - t0
         parts = "; ".join(
             f"VF {p.vf:.0%}: R {p.recall:.2f} P {p.precision:.2f}"
             for p in sorted(points.values(), key=lambda p: p.vf))
         print(f"STAGE somatic titration accuracy (planted truth, canonical "
-              f"somatic flags, {backend} scoring, {dt:.0f}s): {parts}",
+              f"somatic flags, host scoring, {dt:.0f}s): {parts}",
               flush=True)
+        # the paper's low-VF operating regime (run_analysis.sh:84-135):
+        # deep targeted depth + noise model matched to the Q30 floor
+        t0 = time.perf_counter()
+        deep = run_titration("/tmp/pisces_tpu_bench_titr_deep",
+                             vf_points=(0.01, 0.02), sites_per_point=15,
+                             depth=2000, min_bq=30, chrom_len=18_000,
+                             use_device=False, seed=19)
+        dt = time.perf_counter() - t0
+        parts = "; ".join(
+            f"VF {p.vf:.0%}: R {p.recall:.2f} P {p.precision:.2f} "
+            f"(tp={p.tp} fp={p.fp} fn={p.fn})"
+            for p in sorted(deep.values(), key=lambda p: p.vf))
+        print(f"STAGE low-VF somatic titration (depth 2000x, -minbq 30 -> "
+              f"NL 30, {dt:.0f}s): {parts}", flush=True)
     elif stage == "candidates":
         rate = bench_candidates()
         print(f"STAGE candidate-path kernel: {rate:,.0f} candidates/s/chip "

@@ -314,11 +314,18 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     def _line(i: int) -> str:
         return lines.line(i) if is_block else lines[i]
 
+    text_dirty = True  # header lines went through the text layer
+
     def _bulk_refs_upto(j: int) -> None:
-        nonlocal ri
+        nonlocal ri, text_dirty
         if is_block:
-            # single buffer-slice write: no per-line string objects
-            lines.write_range(fh, ri, j)
+            # single buffer-slice write: no per-line string objects; only
+            # flush the text layer when something was written through it
+            # since the last raw write (otherwise each ref run would pay a
+            # syscall-level flush)
+            if j > ri:
+                lines.write_range(fh, ri, j, need_flush=text_dirty)
+                text_dirty = False
             ri = max(ri, j)
             return
         while j > ri:
@@ -331,6 +338,7 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     for pos in sorted(variant_positions):
         # bulk-write the run of reference lines before this variant locus
         _bulk_refs_upto(int(np.searchsorted(positions, pos)))
+        text_dirty = True  # the variant line(s) below go through fh text
         has_ref_line = ri < n_ref and int(positions[ri]) == pos
         at_pos = variant_positions[pos]
         all_forced = all(getattr(a, "is_forced_to_report", False)

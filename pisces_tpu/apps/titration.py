@@ -151,12 +151,18 @@ def generate_titration_workload(
         for off in err_cols[err_starts[i]:err_starts[i + 1]]:
             rseq[off] = ord("ACGT"[(rseq[off] + 1) % 4])
         cigar = cig
-        # plant the covered truth allele on a VF-fraction of reads
+        # plant the covered truth allele on a VF-fraction of reads.
+        # Only reads where the site sits >=8bp from both ends are eligible
+        # carriers, but EVERY spanning read contributes coverage — so the
+        # carrier probability is scaled by the eligible-offset fraction
+        # ((read_len - 16 - (len(ref)-1)) / read_len) to make the realized
+        # site VF match the labeled titration point.
         j = int(np.searchsorted(t_pos, p))
         site = truth[j] if j < len(truth) else None
         if (site is not None and site.position + len(site.ref) - 1
                 < p + read_len - 8 and site.position - p >= 8
-                and carrier[i] < site.vf):
+                and carrier[i] < site.vf * read_len
+                / max(1, read_len - 16 - (len(site.ref) - 1))):
             off = site.position - p
             if len(site.ref) == 2 and len(site.alt) == 1:  # deletion
                 del rseq[off + 1]
@@ -225,7 +231,9 @@ def run_titration(outdir: str,
                   depth: int = 1000,
                   recalibrate: bool = False,
                   use_device: bool = False,
-                  seed: int = 7) -> Dict[float, TitrationPoint]:
+                  seed: int = 7,
+                  min_bq: int = 20,
+                  chrom_len: int = 60_000) -> Dict[float, TitrationPoint]:
     """Generate → call (canonical somatic flags) → score. Writes
     ``titration_summary.csv`` next to the VCF (the run_analysis.sh summary
     shape: one row per VF point). ``recalibrate`` additionally runs VQR
@@ -238,16 +246,24 @@ def run_titration(outdir: str,
     from pisces_tpu.options import PiscesApplicationOptions
 
     bam, gdir, truth = generate_titration_workload(
-        outdir, vf_points, sites_per_point, depth, seed=seed)
+        outdir, vf_points, sites_per_point, depth, seed=seed,
+        chrom_len=chrom_len)
     o = PiscesApplicationOptions()
     o.output_directory = outdir
     # canonical somatic benchmark command line (run_analysis.sh:81)
     o.call_mnvs = False
     o.vcf_writing_parameters.output_gvcf_file = False
+    # the paper's low-VF regime is called with a noise model matched to the
+    # data's error floor: -minbq 30 derives NL 30
+    # (VariantQualityCalculator.cs:27-65 via the NL-from-MinBQ rule), which
+    # is what makes 1-2% VF separable from a Q30 (1e-3) floor at depth
+    # 2000-5000x
+    o.bam_filter_parameters.minimum_base_call_quality = min_bq
     vcp = o.variant_calling_parameters
     vcp.rmxn_filter_max_length_repeat = 5
     vcp.rmxn_filter_min_repetitions = 9
     vcp.rmxn_filter_frequency_limit = 0.35
+    o.validate()
     vcf = process_bam(o, bam, Genome(gdir), use_device=use_device)
     if recalibrate:
         from pisces_tpu.satellites import vqr

@@ -8,7 +8,9 @@ chromosome sequences are served as whole uppercase byte arrays.
 from __future__ import annotations
 
 import os
+import threading
 import xml.etree.ElementTree as ET
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -127,6 +129,14 @@ class Genome:
                 continue
             self._chrom_info.append((contig, el.get("fileName"), int(el.get("totalBases"))))
         self._fai_cache: Dict[str, Dict[str, FaiEntry]] = {}
+        # Small LRU of loaded chromosomes: the reference holds one
+        # ChrReference per (bam, chr) job for the job's whole lifetime
+        # (Genome.cs:40-96); re-reading the FASTA per call dominated the
+        # warm end-to-end profile (~18ms of 34ms on chr19). Capacity is
+        # bounded so whole-genome sweeps stay at working-set memory.
+        self._chr_cache: "OrderedDict[str, ChrReference]" = OrderedDict()
+        self._chr_cache_lock = threading.Lock()
+        self._chr_cache_cap = 4
 
     @property
     def chromosome_names(self) -> List[str]:
@@ -137,6 +147,19 @@ class Genome:
         return [(c, n) for c, _, n in self._chrom_info]
 
     def get_chr_reference(self, name: str) -> ChrReference:
+        with self._chr_cache_lock:
+            hit = self._chr_cache.get(name)
+            if hit is not None:
+                self._chr_cache.move_to_end(name)
+                return hit
+        ref = self._load_chr_reference(name)
+        with self._chr_cache_lock:
+            self._chr_cache[name] = ref
+            while len(self._chr_cache) > self._chr_cache_cap:
+                self._chr_cache.popitem(last=False)
+        return ref
+
+    def _load_chr_reference(self, name: str) -> ChrReference:
         for contig, fa_file, _ in self._chrom_info:
             if contig == name:
                 fa_path = os.path.join(self.directory, fa_file)

@@ -505,6 +505,12 @@ class _RenderedBlobOwner:
     def __del__(self):
         try:
             self.mv.release()
+        except BufferError:
+            # an exported sub-view of the blob still lives: freeing the
+            # native buffer now would be a use-after-free under that view.
+            # Leak it instead — strictly safer, and unreachable for in-repo
+            # consumers (RefLineBlock always holds the owner).
+            return
         except Exception:
             pass
         self._lib.rl_free(self._h)

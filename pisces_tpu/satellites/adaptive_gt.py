@@ -426,19 +426,28 @@ def recalibrate(vcf_path: str, out_dir: Optional[str] = None,
         # (indel-final) means — the model file records them twice and SNV
         # recalibration uses the indel means. Weights stay per-model.
         if use_jax:
-            fit_fn = adaptive.fit_mixture_model_jax
-            raise NotImplementedError(
-                "jax fit does not support chained starting means")
-        fit = adaptive.fit_mixture_model(snv_ad, snv_dp)
-        if len(indel_ad) > 0:
-            ifit = adaptive.fit_mixture_model(indel_ad, indel_dp,
-                                              starting_means=fit.means)
-            shared_means = ifit.means
-            indel_weights = ifit.weights
+            # device EM with the same chained starting means: the indel fit
+            # starts from the SNV-fitted means and both models share the
+            # indel-final means (the reference's aliasing, reproduced)
+            snv_means, snv_weights = adaptive.fit_mixture_model_jax(
+                snv_ad, snv_dp)
+            if len(indel_ad) > 0:
+                shared_means, indel_weights = adaptive.fit_mixture_model_jax(
+                    indel_ad, indel_dp, starting_means=snv_means)
+            else:
+                shared_means, indel_weights = snv_means, snv_weights
         else:
-            shared_means = fit.means
-            indel_weights = fit.weights
-        snv_model = (shared_means, fit.weights)
+            fit = adaptive.fit_mixture_model(snv_ad, snv_dp)
+            snv_weights = fit.weights
+            if len(indel_ad) > 0:
+                ifit = adaptive.fit_mixture_model(indel_ad, indel_dp,
+                                                  starting_means=fit.means)
+                shared_means = ifit.means
+                indel_weights = ifit.weights
+            else:
+                shared_means = fit.means
+                indel_weights = fit.weights
+        snv_model = (shared_means, snv_weights)
         indel_model = (shared_means, indel_weights)
         write_model_file(
             os.path.join(out_dir,

@@ -237,6 +237,41 @@ class TestAdaptiveGt:
         models = adaptive_gt.read_model_file(model)
         assert np.allclose(models[0][0], true_means, atol=0.05)
 
+    def test_jax_backend_matches_numpy(self, tmp_path):
+        """-backend jax (device EM, chained starting means) produces the
+        same recal VCF as the numpy fit (MixtureModel.cs:70,103-119)."""
+        rng = np.random.default_rng(5)
+        true_means = [0.01, 0.47, 0.97]
+        lines = []
+        for k in range(600):
+            pos = 100 + k
+            comp = int(rng.choice(3, p=[0.5, 0.35, 0.15]))
+            dp = int(rng.integers(80, 300))
+            ad = int(rng.binomial(dp, true_means[comp]))
+            if ad < 2:
+                lines.append(vcf_line("chr1", pos, "A", ".", gt="0/0",
+                                      ad=str(dp - ad), dp=dp,
+                                      vf=f"{ad/dp:.3f}"))
+            else:
+                gt = "0/1" if comp == 1 else ("1/1" if comp == 2 else "0/1")
+                lines.append(vcf_line("chr1", pos, "A", "T", gt=gt,
+                                      ad=f"{dp-ad},{ad}", dp=dp,
+                                      vf=f"{ad/dp:.3f}"))
+        d1 = tmp_path / "np_fit"
+        d2 = tmp_path / "jax_fit"
+        d1.mkdir()
+        d2.mkdir()
+        v1 = str(d1 / "g.vcf")
+        v2 = str(d2 / "g.vcf")
+        write_vcf(v1, lines)
+        write_vcf(v2, lines)
+        out_np = adaptive_gt.recalibrate(v1, str(d1))
+        out_jax = adaptive_gt.recalibrate(v2, str(d2), use_jax=True)
+        body_np = [l for l in open(out_np) if not l.startswith("#")]
+        body_jax = [l for l in open(out_jax) if not l.startswith("#")]
+        assert body_np == body_jax
+        assert len(body_np) > 200
+
 
 class TestPsaraShippedExpected:
     """Byte-level comparison against the reference's Psara.Tests expected
