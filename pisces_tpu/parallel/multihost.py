@@ -161,3 +161,108 @@ def process_bam_multihost(options, bam_path: str, genome_dir: str,
     return wait_and_merge_shards(final_vcf, shard_of,
                                  [c for c, _l in chrom_lengths],
                                  recover=_recover)
+
+
+# ---------------------------------------------------------------------------
+# real multi-process entry: one OS process per "host", joined through the
+# jax.distributed coordinator (the TPU-pod shape, runnable on one box with
+# the CPU backend). The reference analog actually spawns its children too
+# (Pisces Program.cs:46-48 -InsideSubProcess fan-out).
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Worker entry: join the coordinator, call this host's chromosomes,
+    host 0 merges. `python -m pisces_tpu.parallel.multihost -bam .. -g ..
+    -o .. --coordinator host:port --nprocs N --pid I`."""
+    import argparse
+
+    import jax
+
+    from pisces_tpu.options import PiscesApplicationOptions
+
+    p = argparse.ArgumentParser(prog="pisces_tpu.parallel.multihost")
+    p.add_argument("-bam", required=True)
+    p.add_argument("-g", required=True)
+    p.add_argument("-o", required=True)
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--nprocs", type=int, required=True)
+    p.add_argument("--pid", type=int, required=True)
+    p.add_argument("--gvcf", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (single-box runs share one "
+                        "TPU tunnel; each worker must not grab it)")
+    a = p.parse_args(argv)
+    if a.cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    o = PiscesApplicationOptions()
+    o.output_directory = a.o
+    o.vcf_writing_parameters.output_gvcf_file = a.gvcf
+    merged = process_bam_multihost(
+        o, a.bam, a.g, use_device=False, coordinator_address=a.coordinator,
+        num_processes=a.nprocs, process_id=a.pid)
+    import jax as _j
+    print(f"multihost worker pid={a.pid} process_count={_j.process_count()} "
+          f"merged={merged or '-'}", flush=True)
+    return 0
+
+
+def run_local_multihost(bam_path: str, genome_dir: str, out_dir: str,
+                        n_procs: int = 2, gvcf: bool = True,
+                        timeout_s: float = 600.0) -> str:
+    """Spawn n_procs coordinator-joined worker processes on this box (CPU
+    backend) and return the merged VCF path. Used by tests and the bench's
+    multihost stage."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    pp = env.get("PYTHONPATH", "")
+    parts = [repo] + ([pp] if pp else [])
+    axon = "/root/.axon_site"
+    if os.path.isdir(axon) and axon not in pp.split(os.pathsep):
+        parts.append(axon)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    procs = []
+    for i in range(n_procs):
+        cmd = [sys.executable, "-m", "pisces_tpu.parallel.multihost",
+               "-bam", bam_path, "-g", genome_dir, "-o", out_dir,
+               "--coordinator", coord, "--nprocs", str(n_procs),
+               "--pid", str(i), "--cpu"]
+        if gvcf:
+            cmd.append("--gvcf")
+        procs.append(subprocess.Popen(cmd, env=env, cwd=repo,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=timeout_s)
+        outs.append(out)
+        if pr.returncode != 0:
+            raise RuntimeError(
+                f"multihost worker {i} rc={pr.returncode}:\n{out[-2000:]}")
+        if f"process_count={n_procs}" not in out:
+            raise RuntimeError(
+                f"worker {i} did not join the {n_procs}-process "
+                f"coordinator:\n{out[-2000:]}")
+    stem = os.path.basename(bam_path)
+    stem = stem[:-4] if stem.endswith(".bam") else stem
+    merged = os.path.join(out_dir,
+                          stem + (".genome.vcf" if gvcf else ".vcf"))
+    if not os.path.exists(merged):
+        raise RuntimeError(f"merged VCF missing; worker logs:\n"
+                           + "\n".join(o[-1000:] for o in outs))
+    return merged
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -328,3 +328,34 @@ class TestMultiHostRecovery:
         data = [l for l in open(final) if not l.startswith("#")]
         assert any(l.startswith("chr1\t") for l in data)
         assert any(l.startswith("chr2\t") for l in data)
+
+
+class TestRealTwoProcessDistributed:
+    def test_coordinator_joined_workers_match_single_process(self, tmp_path):
+        """TWO actual OS processes join a jax.distributed coordinator
+        (CPU backend), split a 2-chromosome workload via the LPT partition,
+        write atomic shards, and host 0's merge barrier produces a VCF
+        byte-equal to the single-process run. Reference analog: the
+        -InsideSubProcess fan-out (Pisces Program.cs:46-48). The launcher
+        asserts process_count=2 inside each worker."""
+        import bench
+        from pisces_tpu.parallel.multihost import (
+            process_bam_multihost, run_local_multihost,
+        )
+
+        bam, gdir = bench._write_synthetic_workload(
+            str(tmp_path / "wl"), n_chroms=2, chrom_len=40_000,
+            n_reads=4_000)
+        merged = run_local_multihost(bam, gdir, str(tmp_path / "mh"),
+                                     n_procs=2, timeout_s=240)
+
+        o = PiscesApplicationOptions()
+        o.output_directory = str(tmp_path / "sp")
+        os.makedirs(o.output_directory, exist_ok=True)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        single = process_bam_multihost(o, bam, gdir, use_device=False)
+
+        la = [l for l in open(single) if not l.startswith("##")]
+        lb = [l for l in open(merged) if not l.startswith("##")]
+        assert la == lb
+        assert len(lb) > 100
