@@ -62,14 +62,24 @@ class CalledAllele:
     suspicious_coverage_start: int = 0
     suspicious_coverage_end: int = 0
     unanchored_coverage_weight: float = 0.0
+    _freq_cache: tuple = (-1, -1, 0.0)  # (support, coverage, value)
 
     @property
     def frequency(self) -> float:
-        """float32 semantics (CalledAllele.Frequency)."""
-        if self.total_coverage == 0:
-            return 0.0
-        return float(min(np.float32(self.allele_support) / np.float32(self.total_coverage),
-                         np.float32(1.0)))
+        """float32 semantics (CalledAllele.Frequency). Cached on the
+        (support, coverage) pair — the filter/callability path reads it
+        several times per allele and the np.float32 scalar math is ~2us."""
+        s = self.allele_support
+        t = self.total_coverage
+        c = self._freq_cache
+        if c[0] == s and c[1] == t:
+            return c[2]
+        if t == 0:
+            v = 0.0
+        else:
+            v = float(min(np.float32(s) / np.float32(t), np.float32(1.0)))
+        self._freq_cache = (s, t, v)
+        return v
 
     @property
     def ref_frequency(self) -> float:

@@ -155,16 +155,24 @@ def rmxn_should_filter(category: AlleleCategory, position: int, ref_allele: str,
         return False
     if category == AlleleCategory.REFERENCE:
         return False
+    if isinstance(refseq_str, RefSeqStr):
+        m = refseq_str.rmxn_min_component(category, position, ref_allele,
+                                          alt_allele, max_len_repeat)
+        if m is not None:
+            return m >= min_repetitions
     c1, c2 = compute_component_rmxn_lengths(category, position, ref_allele,
                                             alt_allele, refseq_str, max_len_repeat)
     return min(c1, c2) >= min_repetitions
 
 
 class RefSeqStr:
-    """Lazy string view over a uint8 reference array (slices decode on demand)."""
+    """Lazy string view over a uint8 reference array (slices decode on
+    demand), plus the native RMxN fast path (io/_native/stitch.cpp
+    rmxn_min_component) with the array pointer cached once."""
 
     def __init__(self, refseq: np.ndarray):
-        self._a = refseq
+        self._a = np.ascontiguousarray(refseq)
+        self._ptr = None  # lazily bound native (lib, ref pointer)
 
     def __len__(self):
         return len(self._a)
@@ -173,3 +181,37 @@ class RefSeqStr:
         if isinstance(item, slice):
             return self._a[item].tobytes().decode()
         return chr(self._a[item])
+
+    def rmxn_min_component(self, category: AlleleCategory, position: int,
+                           ref_allele: str, alt_allele: str,
+                           max_unit_len: int) -> Optional[int]:
+        """min(c1, c2) via the native scan; None when unavailable."""
+        if self._ptr is None:
+            import ctypes
+            try:
+                from pisces_tpu.io.native import get_lib
+                lib = get_lib()
+                if lib is None or not hasattr(lib, "rmxn_min_component"):
+                    self._ptr = False
+                else:
+                    lib.rmxn_min_component.restype = ctypes.c_int
+                    lib.rmxn_min_component.argtypes = [
+                        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                    self._ptr = (lib, ctypes.c_void_p(self._a.ctypes.data),
+                                 len(self._a))
+            except Exception:
+                self._ptr = False
+        if self._ptr is False:
+            return None
+        lib, ptr, ref_len = self._ptr
+        if category == AlleleCategory.INSERTION:
+            cat = 1
+        elif category == AlleleCategory.DELETION:
+            cat = 2
+        else:
+            cat = 0
+        return lib.rmxn_min_component(
+            ptr, ref_len, position, ref_allele.encode(), len(ref_allele),
+            alt_allele.encode(), len(alt_allele), cat, max_unit_len)

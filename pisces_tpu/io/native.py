@@ -446,20 +446,26 @@ def native_pileup(reader: "NativeBamReader", keep: np.ndarray, min_bq: int,
         n_sel = lib.pileup_gvcf_unique(reader._h, block_size, len(rc))
         if n_sel >= 0:
             u = int(lib.pileup_n_uniq(reader._h))
+            # zero-copy views (like counts_t above): these are the largest
+            # per-window arrays (~24 B/locus) and every consumer finishes
+            # with them before the handle's next pileup call — write_spliced
+            # runs per window, before the next window's fetch/pileup
             pc.gvcf_unique = (
-                _as_array(lib.pileup_sel_positions(reader._h), n_sel,
-                          np.int64),
-                _as_array(lib.pileup_uniq_tuples(reader._h), u * 6,
-                          np.int32).reshape(u, 6).astype(np.int64),
-                _as_array(lib.pileup_uniq_inv(reader._h), n_sel, np.int32))
+                _as_view(lib.pileup_sel_positions(reader._h), n_sel,
+                         np.int64),
+                _as_view(lib.pileup_uniq_tuples(reader._h), u * 6,
+                         np.int32).reshape(u, 6).astype(np.int64),
+                _as_view(lib.pileup_uniq_inv(reader._h), n_sel, np.int32))
     mismatches = None
     if ref_codes is not None:
         n_mm = int(lib.pileup_n_mismatches(reader._h))
+        # views: consumed by candidate aggregation inside call_chromosome,
+        # before any further native call on this handle
         mismatches = (
-            _as_array(lib.pileup_mm_gpos(reader._h), n_mm, np.int64),
-            _as_array(lib.pileup_mm_alt(reader._h), n_mm, np.int8),
-            _as_array(lib.pileup_mm_dir(reader._h), n_mm, np.int8),
-            _as_array(lib.pileup_mm_flags(reader._h), n_mm, np.int8))
+            _as_view(lib.pileup_mm_gpos(reader._h), n_mm, np.int64),
+            _as_view(lib.pileup_mm_alt(reader._h), n_mm, np.int8),
+            _as_view(lib.pileup_mm_dir(reader._h), n_mm, np.int8),
+            _as_view(lib.pileup_mm_flags(reader._h), n_mm, np.int8))
     return pc, mismatches
 
 
