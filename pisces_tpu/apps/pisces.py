@@ -407,40 +407,98 @@ class _RegionView:
                                          parse_tags=parse_tags)
 
 
+def _trim_window_result(result, w0: int, w1: int, copy_positions: bool):
+    """Keep only loci inside [w0+1, w1] (1-based). copy_positions=True
+    detaches the positions array from the producing reader handle's native
+    buffers (required when the same worker will run another window before
+    this result is consumed — pipelined mode)."""
+    if isinstance(result, tuple):
+        alleles, ref_lines = result
+        alleles = [a for a in alleles if w0 < a.position <= w1]
+        if ref_lines is not None:
+            from pisces_tpu.calling.fast_gvcf import RefLineBlock
+            positions, lines = ref_lines
+            # window-interior positions form a contiguous run
+            lo = int(np.searchsorted(positions, w0 + 1))
+            hi = int(np.searchsorted(positions, w1, side="right"))
+            kept = (lines.slice(lo, hi)
+                    if isinstance(lines, RefLineBlock)
+                    else lines[lo:hi])
+            pos_kept = positions[lo:hi]
+            if copy_positions:
+                pos_kept = np.array(pos_kept)
+            ref_lines = (pos_kept, kept)
+        return alleles, ref_lines
+    return [a for a in result if w0 < a.position <= w1], None
+
+
 def call_chromosome_windowed(options, chrom, reader, ref_id: int,
                              intervals=None, use_device: bool = True,
-                             forced_alleles=None, priors=None):
+                             forced_alleles=None, priors=None,
+                             reader_factory=None, pipeline_threads: int = 1):
     """Stream one chromosome in window_size slices. Yields
     (result, w_start1, w_end1) per window; counts at in-window positions are
     complete because fetch_region selects reads by overlap, and the margin
-    covers spanning-variant endpoint lookups past the window edge."""
+    covers spanning-variant endpoint lookups past the window edge.
+
+    With pipeline_threads > 1 and a reader_factory, windows are processed
+    on dedicated worker threads (each with its OWN reader handle) while
+    earlier windows are being written — the SURVEY M3 "region-tile
+    pipelining / input overlap" mechanism. Ordering and bytes are
+    unchanged: results are yielded strictly in window order, and window
+    N+threads is only submitted to worker (N % threads) AFTER window N was
+    consumed, so a worker never invalidates its native buffers before the
+    consumer is done with them (per-handle zero-copy views).
+    RefLineBlock blobs are independently owned (native render buffer), and
+    positions arrays are copied out of the reader's buffers at trim time."""
     L = len(chrom.sequence)
     win = options.window_size
     margin = options.window_margin
-    for w0 in range(0, L, win):
-        w1 = min(w0 + win, L)
-        view = _RegionView(reader, ref_id, max(0, w0 - margin),
+    windows = [(w0, min(w0 + win, L)) for w0 in range(0, L, win)]
+
+    if pipeline_threads <= 1 or reader_factory is None or len(windows) <= 1:
+        for w0, w1 in windows:
+            view = _RegionView(reader, ref_id, max(0, w0 - margin),
+                               min(L, w1 + margin))
+            result = call_chromosome(options, chrom, view, intervals,
+                                     use_device, forced_alleles, priors)
+            trimmed = _trim_window_result(result, w0, w1,
+                                          copy_positions=False)
+            yield trimmed, w0 + 1, w1
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = min(pipeline_threads, len(windows))
+    execs = [ThreadPoolExecutor(max_workers=1) for _ in range(n_workers)]
+    local_readers: List = [None] * n_workers
+
+    def work(slot: int, w0: int, w1: int):
+        if local_readers[slot] is None:
+            local_readers[slot] = reader_factory()
+        view = _RegionView(local_readers[slot], ref_id, max(0, w0 - margin),
                            min(L, w1 + margin))
         result = call_chromosome(options, chrom, view, intervals, use_device,
                                  forced_alleles, priors)
-        # keep only loci inside [w0+1, w1] (1-based)
-        if isinstance(result, tuple):
-            alleles, ref_lines = result
-            alleles = [a for a in alleles if w0 < a.position <= w1]
-            if ref_lines is not None:
-                from pisces_tpu.calling.fast_gvcf import RefLineBlock
-                positions, lines = ref_lines
-                # window-interior positions form a contiguous run
-                lo = int(np.searchsorted(positions, w0 + 1))
-                hi = int(np.searchsorted(positions, w1, side="right"))
-                kept = (lines.slice(lo, hi)
-                        if isinstance(lines, RefLineBlock)
-                        else lines[lo:hi])
-                ref_lines = (positions[lo:hi], kept)
-            yield (alleles, ref_lines), w0 + 1, w1
-        else:
-            yield ([a for a in result if w0 < a.position <= w1],
-                   None), w0 + 1, w1
+        return _trim_window_result(result, w0, w1, copy_positions=True)
+
+    try:
+        futures = []
+        for i in range(min(n_workers, len(windows))):
+            w0, w1 = windows[i]
+            futures.append(execs[i % n_workers].submit(work, i % n_workers,
+                                                       w0, w1))
+        for i in range(len(windows)):
+            trimmed = futures[i].result()
+            nxt = i + n_workers
+            if nxt < len(windows):
+                w0, w1 = windows[nxt]
+                futures.append(execs[nxt % n_workers].submit(
+                    work, nxt % n_workers, w0, w1))
+            yield trimmed, windows[i][0] + 1, windows[i][1]
+    finally:
+        for ex in execs:
+            ex.shutdown(wait=True)
 
 
 def load_priors(path: str, trim_mnv: bool = False):
@@ -530,15 +588,26 @@ def process_bam(options: PiscesApplicationOptions, bam_path: str,
                 if os.path.exists(bam_path + ".bai"):
                     # native lazy reader: per-window .bai chunks inflate in
                     # C++ and the overlap filter runs there too, keeping
-                    # the native pileup path live under windowed streaming
+                    # the native pileup path live under windowed streaming.
+                    # Windows pipeline across worker threads (SURVEY M3
+                    # input overlap): compute window N+1 while writing N.
                     lazy = open_bam(bam_path, lazy=True)
                     rid = lazy.header.ref_index(chrom_name)
                     windowed = True
                     alleles_all = []
+                    # window pipelining measured 2-3x SLOWER on a 2-core
+                    # box (GIL + bandwidth contention with the writer);
+                    # enable the overlap only when cores are plentiful
+                    cores = os.cpu_count() or 1
+                    n_pipe = (1 if cores <= 2
+                              else max(1, min(2, options.max_num_threads)))
                     for (w_alleles, w_refs), _w0, _w1 in \
                             call_chromosome_windowed(
                                 options, chrom, lazy, rid, intervals,
-                                use_device, forced_alleles, priors):
+                                use_device, forced_alleles, priors,
+                                reader_factory=lambda: open_bam(
+                                    bam_path, lazy=True),
+                                pipeline_threads=n_pipe):
                         write_spliced(writer, w_alleles, w_refs)
                         alleles_all.extend(w_alleles)
                     alleles = alleles_all

@@ -33,6 +33,48 @@ def test_windowed_equals_whole(tmp_path, window):
     assert len(la) > 100
 
 
+def test_pipelined_windows_equal_serial(tmp_path):
+    """Window pipelining (worker threads, own reader handles — the SURVEY
+    M3 input-overlap mechanism) must be byte-identical to the serial
+    windowed path, including the detached-positions copy discipline."""
+    from pisces_tpu.apps.pisces import call_chromosome_windowed, write_spliced
+    from pisces_tpu.io.native import open_bam
+    from pisces_tpu.io.vcf_write import VcfWriter, VcfWriterConfig
+
+    bam = conftest.shared_bam("Chr17Chr19.bam")
+    genome = Genome(conftest.shared_genome("chr19"))
+    chrom = genome.get_chr_reference("chr19")
+
+    def run(sub, threads):
+        d = tmp_path / sub
+        d.mkdir()
+        o = PiscesApplicationOptions()
+        o.output_directory = str(d)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        o.window_size = 150_000
+        o.validate()
+        reader = open_bam(bam, lazy=True)
+        rid = reader.header.ref_index("chr19")
+        out = str(d / "out.vcf")
+        writer = VcfWriter(out, VcfWriterConfig(o), "chr19.fa", "S1",
+                           contigs=[("chr19", chrom.length)])
+        writer.write_header()
+        for (w_alleles, w_refs), _w0, _w1 in call_chromosome_windowed(
+                o, chrom, reader, rid, None, False, None, None,
+                reader_factory=lambda: open_bam(bam, lazy=True),
+                pipeline_threads=threads):
+            write_spliced(writer, w_alleles, w_refs)
+        writer.close()
+        return out
+
+    serial = run("serial", 1)
+    piped = run("piped", 2)
+    la = [l for l in open(serial) if not l.startswith("##")]
+    lb = [l for l in open(piped) if not l.startswith("##")]
+    assert la == lb
+    assert len(la) > 50
+
+
 def test_window_straddles_pileup(tmp_path):
     """A window boundary inside the covered pileup region: reads spanning
     the boundary contribute to both windows' counts without duplication."""
