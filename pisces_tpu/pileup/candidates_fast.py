@@ -127,32 +127,34 @@ def find_snv_candidates_vectorized(
 
 def _aggregate_snv_events(chrom, refseq, m_gpos, m_alt, m_dir, open_left,
                           open_right, well_anchored) -> List[Candidate]:
-    """Keyed np.unique aggregation of per-base SNV events."""
+    """Keyed np.unique aggregation of per-base SNV events.
+
+    Support tallies are one 2-D scatter-add over (candidate, direction)
+    instead of per-candidate 3-vectors — the per-candidate np.zeros +
+    np.add.at pairs were ~7us each at WGS candidate counts."""
     key = (((m_gpos * 6 + m_alt.astype(np.int64)) * 2
             + open_left.astype(np.int64)) * 2 + open_right.astype(np.int64))
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq, starts_idx = np.unique(key_s, return_index=True)
+    uniq, inverse = np.unique(key, return_inverse=True)
+    n_u = len(uniq)
+    dir_i = m_dir.astype(np.int64)
+    sup2d = np.zeros((n_u, NUM_DIRECTION_TYPES), dtype=np.int64)
+    np.add.at(sup2d, (inverse, dir_i), 1)
+    wa2d = np.zeros((n_u, NUM_DIRECTION_TYPES), dtype=np.int64)
+    np.add.at(wa2d, (inverse[well_anchored], dir_i[well_anchored]), 1)
+    o_r_all = (uniq & 1).astype(bool)
+    o_l_all = ((uniq >> 1) & 1).astype(bool)
+    alt_all = ((uniq >> 2) % 6).astype(np.int64)
+    pos_all = ((uniq >> 2) // 6).astype(np.int64)
+    ref_chars = refseq[pos_all - 1]
+    alt_chars = ALLELE_CHARS[alt_all]
     out: List[Candidate] = []
-    m_dir_s = m_dir.astype(np.int64)[order]
-    wa_s = well_anchored[order]
-    bounds = np.append(starts_idx, len(key_s))
-    for u_i in range(len(uniq)):
-        lo, hi = bounds[u_i], bounds[u_i + 1]
-        k = int(uniq[u_i])
-        o_r = bool(k & 1)
-        o_l = bool((k >> 1) & 1)
-        alt_code = (k >> 2) % 6
-        pos = (k >> 2) // 6
-        sup = np.zeros(NUM_DIRECTION_TYPES, dtype=np.int64)
-        wa = np.zeros(NUM_DIRECTION_TYPES, dtype=np.int64)
-        np.add.at(sup, m_dir_s[lo:hi], 1)
-        np.add.at(wa, m_dir_s[lo:hi][wa_s[lo:hi]], 1)
-        c = Candidate(chrom, int(pos), chr(refseq[pos - 1]),
-                      chr(ALLELE_CHARS[alt_code]), AlleleCategory.SNV,
-                      open_on_left=o_l, open_on_right=o_r)
-        c.support_by_direction = sup
-        c.well_anchored_by_direction = wa
+    for u_i in range(n_u):
+        c = Candidate(chrom, int(pos_all[u_i]), chr(ref_chars[u_i]),
+                      chr(alt_chars[u_i]), AlleleCategory.SNV,
+                      open_on_left=bool(o_l_all[u_i]),
+                      open_on_right=bool(o_r_all[u_i]))
+        c.support_by_direction = sup2d[u_i]
+        c.well_anchored_by_direction = wa2d[u_i]
         out.append(c)
     return out
 
