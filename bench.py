@@ -523,15 +523,37 @@ def _run_stage(stage: str, timeout_s: int) -> None:
             tail = (r.stderr or r.stdout).strip().splitlines()[-2:]
             print(f"stage {stage} failed rc={r.returncode}: {tail}",
                   file=sys.stderr, flush=True)
-    except subprocess.TimeoutExpired:
-        print(f"stage {stage} timed out after {timeout_s}s",
-              file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired as e:
+        partial = e.output or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        for line in partial.splitlines():
+            if line.startswith("STAGE "):
+                print(line[6:], file=sys.stderr, flush=True)
+        print(f"stage {stage} timed out after {timeout_s}s (axon-tunnel "
+              f"XLA compile variance: 1.5-14 min observed across nights "
+              f"for the same kernel; README 'TPU design notes' records "
+              f"the completed measurements)", file=sys.stderr, flush=True)
 
 
 def _stage_main(stage: str) -> None:
     """Child-process entry: run one informational bench, print STAGE lines."""
     devs, backend = _init_device()
     use_device = backend == "tpu"
+    if stage == "metric":
+        # the driver-contract device measurement (see main): prints
+        # "METRIC <rate> <backend>" for the parent to parse
+        rng = np.random.default_rng(0)
+        L = 1 << 20
+        counts = rng.integers(0, 30, size=(L, 6, 3, 11)).astype(np.int32)
+        ref_code = rng.integers(0, 4, size=(L,)).astype(np.int32)
+        c3 = counts.sum(axis=-1)
+        cov_alleles = np.array([0, 1, 2, 3, 5])
+        cov_by_dir = c3[:, cov_alleles, :].sum(axis=1).astype(np.int32)
+        sup_by_dir = c3[np.arange(L), ref_code, :].astype(np.int32)
+        rate = bench_device_chained(sup_by_dir, cov_by_dir)
+        print(f"METRIC {rate:.0f} {backend}", flush=True)
+        return
     if stage == "e2e":
         e2e_reads, e2e_loci = bench_end_to_end(use_device=use_device)
         print(f"STAGE end-to-end: {e2e_reads:,.0f} reads/s, {e2e_loci:,.0f} "
@@ -738,12 +760,31 @@ def main():
 
     host_rate = bench_host(counts[: L // 8], ref_code[: L // 8])
 
+    # The device metric runs in a SUBPROCESS with a hard timeout: the axon
+    # tunnel's XLA compile varies ~4-14 min night to night (observed
+    # 2026-08-21); a hung or glacial compile must degrade to the host
+    # number, never zero the round's metric line.
     backend = "host"
     device_rate = host_rate
     try:
-        devs, backend = _init_device()
-        device_rate = bench_device_chained(sup_by_dir, cov_by_dir)
-    except Exception as e:  # no accelerator available
+        env = dict(os.environ)
+        pp = env.get("PYTHONPATH", "")
+        if os.path.isdir(_AXON_SITE) \
+                and _AXON_SITE not in pp.split(os.pathsep):
+            env["PYTHONPATH"] = (pp + os.pathsep if pp else "") + _AXON_SITE
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--stage", "metric"], capture_output=True,
+                           text=True, timeout=900, env=env, cwd=_REPO)
+        for line in r.stdout.splitlines():
+            if line.startswith("METRIC "):
+                _, rate_s, backend = line.split()
+                device_rate = float(rate_s)
+                break
+        else:
+            print(f"metric subprocess produced no METRIC line "
+                  f"(rc={r.returncode}); reporting host rate",
+                  file=sys.stderr, flush=True)
+    except Exception as e:  # timeout / no accelerator
         print(f"device bench failed ({e}); reporting host rate",
               file=sys.stderr, flush=True)
 
@@ -772,11 +813,15 @@ def main():
             100.0 * e2e_loci_per_s / max(device_rate, 1), 4),
     }), flush=True)
 
-    for stage, timeout_s in [("e2e", 240), ("wes", 300), ("real", 240),
-                             ("gemini", 180), ("scylla", 180),
+    # cheap, VERDICT-critical stages first so a driver-side cutoff on a
+    # slow-tunnel night costs only the tail; the two TPU-compile stages
+    # (candidates, pallas) and the big wgs run go last with wide budgets
+    # (compile over the axon tunnel measured 1.5-14 min across nights)
+    for stage, timeout_s in [("real", 240), ("gemini", 180),
                              ("titration", 240), ("multihost", 240),
-                             ("wgs", 500),
-                             ("candidates", 300), ("pallas", 500)]:
+                             ("e2e", 240), ("wes", 300), ("scylla", 180),
+                             ("wgs", 700),
+                             ("candidates", 480), ("pallas", 700)]:
         _run_stage(stage, timeout_s)
 
 
