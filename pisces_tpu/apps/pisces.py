@@ -76,8 +76,15 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
     ref_id = bam.header.ref_index(chrom.name)
     with metrics.stage("bam_fetch"):
         # both readers decode tags natively (C++ TagUtils analog in
-        # pisces_io.cpp bam_decode_tags; Python _parse_string_tags)
-        batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
+        # pisces_io.cpp bam_decode_tags; Python _parse_string_tags).
+        # The native reader serves seq/qual/cigar as zero-copy views:
+        # this pipeline consumes the batch before the handle's next
+        # decode, and pileup does not invalidate decode columns.
+        try:
+            batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags,
+                              as_views=True)
+        except TypeError:  # python reader / test doubles
+            batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
     metrics.count("reads", batch.n)
     keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
                         bf.only_use_proper_pairs)
@@ -402,7 +409,15 @@ class _RegionView:
         self.header = reader.header
         self.path = reader.path
 
-    def fetch(self, ref_id=None, parse_tags: bool = False):
+    def fetch(self, ref_id=None, parse_tags: bool = False,
+              as_views: bool = False):
+        if as_views:
+            try:
+                return self._reader.fetch_region(
+                    self._ref_id, self._beg0, self._end0,
+                    parse_tags=parse_tags, as_views=True)
+            except TypeError:  # python reader: no view support
+                pass
         return self._reader.fetch_region(self._ref_id, self._beg0, self._end0,
                                          parse_tags=parse_tags)
 

@@ -179,7 +179,14 @@ class NativeBamReader:
         return int(self._lib.bam_n_records(self._h))
 
     def _fetch_impl(self, ref_id: Optional[int] = None,
-                    parse_names: bool = False, parse_tags: bool = False):
+                    parse_names: bool = False, parse_tags: bool = False,
+                    as_views: bool = False):
+        """as_views=True serves the base-sized columns (seq/qual/cigar) as
+        zero-copy views into the handle's decode buffers — valid until the
+        next bam_decode/bam_fetch_region on this handle (bam_pileup_mm only
+        clears its own result vectors, so pileup does NOT invalidate them).
+        Only the single-pass caller path opts in; batch-retaining consumers
+        (scylla neighborhoods, gemini) keep copies."""
         from pisces_tpu.io.bam import ReadBatch
         lib = self._lib
         _bind_tags(lib)
@@ -188,6 +195,7 @@ class NativeBamReader:
                                     1 if parse_tags else 0))
         total_cigar = int(lib.bam_total_cigar(self._h))
         total_bases = int(lib.bam_total_bases(self._h))
+        big = _as_view if as_views else _as_array
         names = None
         if parse_names and n:
             name_off = _as_array(lib.bam_col_name_off(self._h), n + 1,
@@ -208,13 +216,13 @@ class NativeBamReader:
             mapq=_as_array(lib.bam_col_mapq(self._h), n, np.uint8),
             flag=_as_array(lib.bam_col_flag(self._h), n, np.uint16),
             cigar_off=_as_array(lib.bam_col_cigar_off(self._h), n + 1, np.int64),
-            cigar_ops=_as_array(lib.bam_col_cigar_ops(self._h), total_cigar,
-                                np.uint8),
-            cigar_lens=_as_array(lib.bam_col_cigar_lens(self._h), total_cigar,
-                                 np.int32),
+            cigar_ops=big(lib.bam_col_cigar_ops(self._h), total_cigar,
+                          np.uint8),
+            cigar_lens=big(lib.bam_col_cigar_lens(self._h), total_cigar,
+                           np.int32),
             seq_off=_as_array(lib.bam_col_seq_off(self._h), n + 1, np.int64),
-            seq=_as_array(lib.bam_col_seq(self._h), total_bases, np.int8),
-            qual=_as_array(lib.bam_col_qual(self._h), total_bases, np.uint8),
+            seq=big(lib.bam_col_seq(self._h), total_bases, np.int8),
+            qual=big(lib.bam_col_qual(self._h), total_bases, np.uint8),
             end_pos=_as_array(lib.bam_col_end_pos(self._h), n, np.int32),
             xd_tags=xd_tags,
             xn_tags=xn_tags,
@@ -276,19 +284,21 @@ class NativeBamReader:
         return xd_tags, xn_tags, extra
 
     def fetch(self, ref_id: Optional[int] = None, parse_names: bool = False,
-              parse_tags: bool = False):
-        batch = self._fetch_impl(ref_id, parse_names, parse_tags)
+              parse_tags: bool = False, as_views: bool = False):
+        batch = self._fetch_impl(ref_id, parse_names, parse_tags, as_views)
         batch._from_native_handle = True
         return batch
 
     def fetch_region(self, ref_id: int, beg0: int, end0: int,
-                     parse_tags: bool = False, parse_names: bool = False):
+                     parse_tags: bool = False, parse_names: bool = False,
+                     as_views: bool = False):
         """Reads overlapping [beg0, end0) (0-based half-open) via the .bai
         index: only the indexed BGZF chunks inflate, and the overlap filter
         runs in C++ so the handle's decoded state stays 1:1 with the batch
         (native pileup depends on that)."""
         if not self._lazy:
             from pisces_tpu.io.bam import subset_batch
+            # subset_batch copies, so views are safe to source from here
             batch = self.fetch(ref_id, parse_names, parse_tags)
             mask = (batch.pos < end0) & (batch.end_pos >= beg0)
             return subset_batch(batch, mask)
@@ -311,7 +321,7 @@ class NativeBamReader:
             len(chunks))
         if n < 0:
             raise IOError(f"{self.path}: native region fetch failed")
-        batch = self._fetch_impl(ref_id, parse_names, parse_tags)
+        batch = self._fetch_impl(ref_id, parse_names, parse_tags, as_views)
         batch._from_native_handle = True
         return batch
 
