@@ -505,7 +505,12 @@ def bench_candidates(iters: int = CHAIN_ITERS):
 # crash (rc=139) or hung compile cannot take down the metric line
 # ---------------------------------------------------------------------------
 
-def _run_stage(stage: str, timeout_s: int) -> None:
+def _run_stage(stage: str, timeout_s: int, final: bool = True) -> bool:
+    """Run one informational stage in a subprocess; returns success.
+    final=False marks a first attempt that will be retried at the end —
+    its timeout prints a deferral note, not a failure line (the shared
+    chip has transient busy phases where the same kernel's compile takes
+    1.5-14 min; a later retry usually lands)."""
     env = dict(os.environ)
     # never pass a PYTHONPATH that hides the axon plugin
     pp = env.get("PYTHONPATH", "")
@@ -523,6 +528,8 @@ def _run_stage(stage: str, timeout_s: int) -> None:
             tail = (r.stderr or r.stdout).strip().splitlines()[-2:]
             print(f"stage {stage} failed rc={r.returncode}: {tail}",
                   file=sys.stderr, flush=True)
+            return False
+        return True
     except subprocess.TimeoutExpired as e:
         partial = e.output or b""
         if isinstance(partial, bytes):
@@ -530,10 +537,16 @@ def _run_stage(stage: str, timeout_s: int) -> None:
         for line in partial.splitlines():
             if line.startswith("STAGE "):
                 print(line[6:], file=sys.stderr, flush=True)
-        print(f"stage {stage} timed out after {timeout_s}s (axon-tunnel "
-              f"XLA compile variance: 1.5-14 min observed across nights "
-              f"for the same kernel; README 'TPU design notes' records "
-              f"the completed measurements)", file=sys.stderr, flush=True)
+        if not final:
+            print(f"(stage {stage}: compile exceeded {timeout_s}s — "
+                  f"transient chip-busy phase; retrying after the other "
+                  f"stages)", file=sys.stderr, flush=True)
+        else:
+            print(f"stage {stage} timed out after {timeout_s}s (axon-tunnel "
+                  f"XLA compile variance: 1.5-14 min observed across nights "
+                  f"for the same kernel; README 'TPU design notes' records "
+                  f"the completed measurements)", file=sys.stderr, flush=True)
+        return False
 
 
 def _stage_main(stage: str) -> None:
@@ -817,12 +830,18 @@ def main():
     # slow-tunnel night costs only the tail; the two TPU-compile stages
     # (candidates, pallas) and the big wgs run go last with wide budgets
     # (compile over the axon tunnel measured 1.5-14 min across nights)
+    retry_once = {"candidates", "pallas"}
+    deferred = []
     for stage, timeout_s in [("real", 240), ("gemini", 180),
                              ("titration", 240), ("multihost", 240),
                              ("e2e", 240), ("wes", 300), ("scylla", 180),
                              ("wgs", 700),
                              ("candidates", 480), ("pallas", 700)]:
-        _run_stage(stage, timeout_s)
+        ok = _run_stage(stage, timeout_s, final=stage not in retry_once)
+        if not ok and stage in retry_once:
+            deferred.append((stage, timeout_s))
+    for stage, timeout_s in deferred:
+        _run_stage(stage, timeout_s, final=True)
 
 
 if __name__ == "__main__":
