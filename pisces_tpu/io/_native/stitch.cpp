@@ -906,6 +906,93 @@ int rmxn_for_indel(const uint8_t* ref, int64_t ref_len, int64_t variant_pos,
 
 extern "C" {
 
+// Extensions.GetAlignmentSummary (ReadRealignmentLogic/Utlity/
+// Extensions.cs:18-179; Python port preprocessing/realigner.py:71-140).
+// Walks the cigar against the reference counting matches/mismatches/
+// softclips/indels and the min(front, back) anchor. Returns 0 and fills
+// out[10] = {num_matches, num_mismatches, num_mismatches_incl_softclip,
+// num_indels, num_inserted_bases, num_deleted_bases, num_indel_bases,
+// num_softclips, num_non_n_softclips, anchor_length}; returns 1 for the
+// Python path's None (an M base falling outside the reference).
+int aln_summary(const uint8_t* ref, int64_t ref_len, int64_t start_ref0,
+                const uint8_t* ops, const int32_t* lens, int nc,
+                const char* read_seq, int check_softclips,
+                int32_t* out) {
+  int64_t prefix_clip = 0;
+  for (int i = 0; i < nc; i++) {
+    if (ops[i] == 4) prefix_clip += lens[i];
+    else if (ops[i] != 5) break;
+  }
+  int64_t ref_i = start_ref0;
+  if (check_softclips) ref_i -= prefix_clip;
+  int64_t read_i = 0;
+  int64_t anchor = 0, end_anchor = 0;
+  bool hit_non_match = false, hit_non_n_softclip = false;
+  int32_t n_match = 0, n_mm = 0, n_mm_sc = 0, n_indels = 0, n_ins = 0,
+      n_del = 0, n_indel_bases = 0, n_sc = 0, n_nn_sc = 0;
+  for (int k = 0; k < nc; k++) {
+    uint8_t op = ops[k];
+    int64_t ln = lens[k];
+    if (op == 4) {
+      for (int64_t i = 0; i < ln; i++) {
+        n_sc++;
+        char b = read_seq[read_i + i];
+        if (b != 'N' || hit_non_n_softclip) {
+          hit_non_n_softclip = true;
+          n_nn_sc++;
+          if (check_softclips) {
+            int64_t p = ref_i + i;
+            if (p < 0 || p >= ref_len) n_mm_sc++;
+            else if (b != (char)ref[p] && b != 'N') n_mm_sc++;
+          }
+        }
+      }
+    } else if (op == 0 || op == 7 || op == 8) {
+      for (int64_t i = 0; i < ln; i++) {
+        if (ref_i + i > ref_len - 1) return 1;
+        if (ref_i + i < 0) return 1;
+        char b = read_seq[read_i + i];
+        if (b != 'N' && b != (char)ref[ref_i + i]) {
+          n_mm++;
+          n_mm_sc++;
+          hit_non_match = true;
+          end_anchor = 0;
+        } else {
+          if (b != 'N') n_match++;
+          if (!hit_non_match) anchor++;
+          end_anchor++;
+        }
+      }
+    } else if (op == 1) {
+      hit_non_match = true;
+      end_anchor = 0;
+      n_indels++;
+      n_indel_bases += (int32_t)ln;
+      n_ins += (int32_t)ln;
+    } else if (op == 2 || op == 3) {
+      hit_non_match = true;
+      end_anchor = 0;
+      n_indels++;
+      n_indel_bases += (int32_t)ln;
+      n_del += (int32_t)ln;
+    }
+    if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) read_i += ln;
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_i += ln;
+    if (check_softclips && op == 4) ref_i += ln;
+  }
+  out[0] = n_match;
+  out[1] = n_mm;
+  out[2] = n_mm_sc;
+  out[3] = n_indels;
+  out[4] = n_ins;
+  out[5] = n_del;
+  out[6] = n_indel_bases;
+  out[7] = n_sc;
+  out[8] = n_nn_sc;
+  out[9] = (int32_t)(anchor < end_anchor ? anchor : end_anchor);
+  return 0;
+}
+
 // category: 0 = SNV/MNV, 1 = insertion, 2 = deletion.
 // Returns min(component1, component2) (RMxNCalculator.ComputeComponent...).
 int rmxn_min_component(const uint8_t* ref, int64_t ref_len, int64_t position,

@@ -21,6 +21,8 @@ import threading
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
+import numpy as np
+
 from pisces_tpu.utils.logger import log
 
 
@@ -193,6 +195,16 @@ def process_bams_parallel(options, bam_paths: List[str], genome,
             intervals = _load_intervals(options, chrom_name)
             alleles = call_chromosome(options, chrom, bam, intervals,
                                       use_device, forced)
+            if isinstance(alleles, tuple):
+                # emission is DEFERRED (ordered per-bam writer) while the
+                # reader handle returns to the pool for the next job — the
+                # fast-gVCF positions array is a zero-copy view into that
+                # handle's buffers and must be detached here
+                out_alleles, ref_lines = alleles
+                if ref_lines is not None:
+                    positions, lines = ref_lines
+                    ref_lines = (np.array(positions), lines)
+                alleles = (out_alleles, ref_lines)
             return (alleles, intervals)
         finally:
             cache.release(chrom_name)

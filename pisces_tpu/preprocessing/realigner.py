@@ -68,6 +68,71 @@ class RealignmentResult(AlignmentSummary):
     is_sketchy: bool = False
 
 
+_aln_native = None  # lazily resolved native binding; False if unavailable
+_ref_bytes_cache: "OrderedDict[int, bytes]" = None  # id(str) -> encoded
+
+
+def _get_aln_native():
+    global _aln_native, _ref_bytes_cache
+    if _aln_native is None:
+        import ctypes
+        from collections import OrderedDict
+        try:
+            from pisces_tpu.io.native import get_lib
+            lib = get_lib()
+            if lib is not None and hasattr(lib, "aln_summary"):
+                lib.aln_summary.restype = ctypes.c_int
+                lib.aln_summary.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p]
+                _aln_native = lib
+                _ref_bytes_cache = OrderedDict()
+            else:
+                _aln_native = False
+        except Exception:
+            _aln_native = False
+    return _aln_native or None
+
+
+def _ref_bytes(refseq_str: str) -> bytes:
+    """Per-chromosome encode cache (the str is megabytes; the same object
+    is passed for thousands of summary calls). Keyed by
+    (id, len, head, tail) so id reuse after GC cannot serve stale bytes."""
+    key = (id(refseq_str), len(refseq_str), refseq_str[:32], refseq_str[-32:])
+    b = _ref_bytes_cache.get(key)
+    if b is None:
+        b = refseq_str.encode("latin-1")
+        _ref_bytes_cache[key] = b
+        while len(_ref_bytes_cache) > 4:
+            _ref_bytes_cache.popitem(last=False)
+    return b
+
+
+def _summary_native(lib, start_ref0: int, cigar, refseq_str: str,
+                    read_seq: str, check_sc: bool
+                    ) -> Optional[AlignmentSummary]:
+    import ctypes
+    n = len(cigar)
+    ops = np.fromiter((c[0] for c in cigar), np.uint8, count=n)
+    lens = np.fromiter((c[1] for c in cigar), np.int32, count=n)
+    out = np.empty(10, np.int32)
+    rb = _ref_bytes(refseq_str)
+    rc = lib.aln_summary(
+        rb, len(rb), start_ref0, ctypes.c_void_p(ops.ctypes.data),
+        ctypes.c_void_p(lens.ctypes.data), n, read_seq.encode("latin-1"),
+        int(check_sc), ctypes.c_void_p(out.ctypes.data))
+    if rc != 0:
+        return None
+    s = AlignmentSummary()
+    s.cigar = list(cigar)
+    (s.num_matches, s.num_mismatches, s.num_mismatches_incl_softclip,
+     s.num_indels, s.num_inserted_bases, s.num_deleted_bases,
+     s.num_indel_bases, s.num_softclips, s.num_non_n_softclips,
+     s.anchor_length) = (int(x) for x in out)
+    return s
+
+
 def get_alignment_summary(start_ref0: int, cigar, refseq_str: str,
                           read_seq: str,
                           check_softclips_for_mismatches: bool = True
@@ -76,6 +141,12 @@ def get_alignment_summary(start_ref0: int, cigar, refseq_str: str,
     Extensions.cs:18-179). start_ref0 is the 0-based reference index of the
     first aligned base (prefix clips are walked backwards from there when
     checking softclips for mismatches)."""
+    lib = _get_aln_native()
+    if lib is not None and isinstance(refseq_str, str) \
+            and len(read_seq) == sum(
+                ln for op, ln in cigar if op in _READ_SPAN):
+        return _summary_native(lib, start_ref0, cigar, refseq_str, read_seq,
+                               check_softclips_for_mismatches)
     s = AlignmentSummary()
     s.cigar = list(cigar)
     ref_i = start_ref0
