@@ -654,11 +654,6 @@ USE_NATIVE = True          # tests flip this to force the Python path
 _native_lib = None         # lazily resolved; False when unavailable
 _tls = threading.local()
 
-_u8p = ctypes.POINTER(ctypes.c_uint8)
-_i32p = ctypes.POINTER(ctypes.c_int32)
-_i64p = ctypes.POINTER(ctypes.c_int64)
-
-
 def _get_native():
     global _native_lib
     if _native_lib is None:
