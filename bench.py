@@ -302,10 +302,18 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
     recs["l_name"] = name_len
     recs["mapq"] = 60
     end0 = pos0 + read_len
-    # vectorized reg2bin: 100bp reads sit in a 16kb bin unless crossing
-    bin16 = (pos0 >> 14 == (end0 - 1) >> 14)
-    recs["bin"] = np.where(
-        bin16, 4681 + (pos0 >> 14), 585 + (pos0 >> 17)).astype(np.uint16)
+    # vectorized reg2bin, ALL levels (a read crossing a 128kb boundary
+    # must land in the coarser bin or indexed queries can miss it —
+    # io/bai.py reg2bin semantics)
+    e = end0 - 1
+    bins_all = np.select(
+        [pos0 >> 14 == e >> 14, pos0 >> 17 == e >> 17,
+         pos0 >> 20 == e >> 20, pos0 >> 23 == e >> 23,
+         pos0 >> 26 == e >> 26],
+        [4681 + (pos0 >> 14), 585 + (pos0 >> 17), 73 + (pos0 >> 20),
+         9 + (pos0 >> 23), 1 + (pos0 >> 26)],
+        default=0).astype(np.int64)
+    recs["bin"] = bins_all.astype(np.uint16)
     recs["n_cigar"] = n_cigar
     recs["flag"] = np.where(np.arange(n_reads) & 1, 16, 0).astype(np.uint16)
     recs["l_seq"] = read_len
@@ -336,7 +344,7 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
     voff = (block_off[blk].astype(np.int64) << 16) | within
     ref = RefIndex()
     ref.mapped = n_reads
-    bins_arr = np.where(bin16, 4681 + (pos0 >> 14), 585 + (pos0 >> 17))
+    bins_arr = bins_all
     cut = np.flatnonzero(np.diff(bins_arr)) + 1
     seg_starts = np.concatenate([[0], cut])
     seg_ends = np.concatenate([cut, [n_reads]])

@@ -80,10 +80,12 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         # The native reader serves seq/qual/cigar as zero-copy views:
         # this pipeline consumes the batch before the handle's next
         # decode, and pileup does not invalidate decode columns.
-        try:
+        # Capability-checked explicitly (not try/except TypeError, which
+        # would mask genuine TypeErrors from inside the fetch).
+        if getattr(bam, "supports_view_fetch", False):
             batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags,
                               as_views=True)
-        except TypeError:  # python reader / test doubles
+        else:
             batch = bam.fetch(ref_id=ref_id, parse_tags=need_tags)
     metrics.count("reads", batch.n)
     keep = filter_batch(batch, bf.minimum_map_quality, bf.remove_duplicates,
@@ -321,18 +323,16 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     def _line(i: int) -> str:
         return lines.line(i) if is_block else lines[i]
 
-    text_dirty = True  # header lines went through the text layer
-
     def _bulk_refs_upto(j: int) -> None:
-        nonlocal ri, text_dirty
+        nonlocal ri
         if is_block:
-            # single buffer-slice write: no per-line string objects; only
-            # flush the text layer when something was written through it
-            # since the last raw write (otherwise each ref run would pay a
-            # syscall-level flush)
+            # single buffer-slice write: no per-line string objects. The
+            # pre-write text flush is genuinely required here: every ref
+            # run in this interleaving is preceded by variant text (each
+            # locus writes at least one variant line), so there is no
+            # elidable flush to skip.
             if j > ri:
-                lines.write_range(fh, ri, j, need_flush=text_dirty)
-                text_dirty = False
+                lines.write_range(fh, ri, j)
             ri = max(ri, j)
             return
         while j > ri:
@@ -345,7 +345,6 @@ def write_spliced(writer, variant_alleles, ref_lines) -> None:
     for pos in sorted(variant_positions):
         # bulk-write the run of reference lines before this variant locus
         _bulk_refs_upto(int(np.searchsorted(positions, pos)))
-        text_dirty = True  # the variant line(s) below go through fh text
         has_ref_line = ri < n_ref and int(positions[ri]) == pos
         at_pos = variant_positions[pos]
         all_forced = all(getattr(a, "is_forced_to_report", False)
@@ -409,15 +408,16 @@ class _RegionView:
         self.header = reader.header
         self.path = reader.path
 
+    @property
+    def supports_view_fetch(self) -> bool:
+        return getattr(self._reader, "supports_view_fetch", False)
+
     def fetch(self, ref_id=None, parse_tags: bool = False,
               as_views: bool = False):
-        if as_views:
-            try:
-                return self._reader.fetch_region(
-                    self._ref_id, self._beg0, self._end0,
-                    parse_tags=parse_tags, as_views=True)
-            except TypeError:  # python reader: no view support
-                pass
+        if as_views and self.supports_view_fetch:
+            return self._reader.fetch_region(
+                self._ref_id, self._beg0, self._end0,
+                parse_tags=parse_tags, as_views=True)
         return self._reader.fetch_region(self._ref_id, self._beg0, self._end0,
                                          parse_tags=parse_tags)
 
@@ -460,12 +460,11 @@ def call_chromosome_windowed(options, chrom, reader, ref_id: int,
     on dedicated worker threads (each with its OWN reader handle) while
     earlier windows are being written — the SURVEY M3 "region-tile
     pipelining / input overlap" mechanism. Ordering and bytes are
-    unchanged: results are yielded strictly in window order, and window
-    N+threads is only submitted to worker (N % threads) AFTER window N was
-    consumed, so a worker never invalidates its native buffers before the
-    consumer is done with them (per-handle zero-copy views).
-    RefLineBlock blobs are independently owned (native render buffer), and
-    positions arrays are copied out of the reader's buffers at trim time."""
+    unchanged: results are yielded strictly in window order, and every
+    handle-tied array is detached inside the worker at trim time
+    (copy_positions=True; RefLineBlock blobs are independently owned by
+    the native render buffer), so a worker starting its next window
+    cannot invalidate an earlier result even before it is written."""
     L = len(chrom.sequence)
     win = options.window_size
     margin = options.window_margin
@@ -505,6 +504,7 @@ def call_chromosome_windowed(options, chrom, reader, ref_id: int,
                                                        w0, w1))
         for i in range(len(windows)):
             trimmed = futures[i].result()
+            futures[i] = None  # drop the result ref: bounded-memory streaming
             nxt = i + n_workers
             if nxt < len(windows):
                 w0, w1 = windows[nxt]

@@ -415,19 +415,17 @@ class RefLineBlock:
         return bytes(self.blob[self.off[i]:self.off[i + 1] - 1]).decode(
             "latin-1")
 
-    def write_range(self, fh, i: int, j: int, need_flush: bool = True) -> None:
+    def write_range(self, fh, i: int, j: int) -> None:
         if j <= i:
             return
         raw = getattr(fh, "buffer", None)
         if raw is not None:
             # bypass the TextIOWrapper (its utf-8 encode would copy the
             # whole run); flush first so interleaved text writes stay
-            # ordered. VCF bodies are pure ASCII. Callers that know no text
-            # was written since the last raw write pass need_flush=False,
-            # since TextIOWrapper.flush() also forces the BufferedWriter to
-            # the OS — one syscall per ref run in variant-dense regions.
-            if need_flush:
-                fh.flush()
+            # ordered — and the flush is never elidable in practice, since
+            # every ref run in the spliced stream is preceded by variant
+            # text. VCF bodies are pure ASCII.
+            fh.flush()
             raw.write(self.blob[self.off[i]:self.off[j]])
         else:
             fh.write(bytes(self.blob[self.off[i]:self.off[j]]).decode(

@@ -317,6 +317,9 @@ void redistribute_softclips(std::vector<Pos>* positions, bool operate_on_r1,
         while (!give.empty()) {
           size_t j = i + count;
           if (j > positions->size() - 1) {
+            // Python overwrites suffix_to_add with a fresh _Pos on each
+            // spill (a later spill discards an earlier one) — mirror that
+            suffix_to_add = Pos();
             for (const auto& it : give)
               suffix_to_add.unmapped.ops(th).push_back(it);
             have_suffix_to_add = true;

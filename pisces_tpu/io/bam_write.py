@@ -82,7 +82,7 @@ class BamRecord:
             # list path: bytes() is a single C call; BAM quals are <= 93
             try:
                 body += bytes(q)
-            except ValueError:
+            except (ValueError, TypeError):  # out-of-range / non-int quals
                 body += np.minimum(np.asarray(q), 255).astype(
                     np.uint8).tobytes()
         for tag, value in self.tags.items():

@@ -159,6 +159,13 @@ class Genome:
                 self._chr_cache.popitem(last=False)
         return ref
 
+    def evict_chr_reference(self, name: str) -> None:
+        """Drop a chromosome from the LRU (callers with their own
+        lifetime accounting — e.g. the scheduler's ChrReferenceCache —
+        use this so released references are actually freed)."""
+        with self._chr_cache_lock:
+            self._chr_cache.pop(name, None)
+
     def _load_chr_reference(self, name: str) -> ChrReference:
         for contig, fa_file, _ in self._chrom_info:
             if contig == name:

@@ -283,6 +283,8 @@ class NativeBamReader:
             extra.append(tags)
         return xd_tags, xn_tags, extra
 
+    supports_view_fetch = True  # capability flag for as_views callers
+
     def fetch(self, ref_id: Optional[int] = None, parse_names: bool = False,
               parse_tags: bool = False, as_views: bool = False):
         batch = self._fetch_impl(ref_id, parse_names, parse_tags, as_views)

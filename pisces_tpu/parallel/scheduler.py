@@ -76,6 +76,13 @@ class ChrReferenceCache:
                 if self._remaining[name] <= 0:
                     self._cache.pop(name, None)
                     self._remaining.pop(name, None)
+                    # also drop it from the Genome-level LRU, or the
+                    # release frees nothing (whole-genome sweeps would
+                    # pin the 4 most recent chromosomes, ~1 GB)
+                    evict = getattr(self._genome, "evict_chr_reference",
+                                    None)
+                    if evict is not None:
+                        evict(name)
 
 
 @dataclass
