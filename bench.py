@@ -157,9 +157,18 @@ def bench_pallas_chained(sup, cov, iters=CHAIN_ITERS):
 def _write_synthetic_workload(tmp: str, n_chroms: int, chrom_len: int,
                               n_reads: int, read_len: int = 100,
                               variant_rate: float = 0.01,
-                              seed: int = 0):
-    """Synthetic multi-chromosome BAM + genome with planted SNVs/indels so
-    both the dense gVCF path and the candidate-scoring path do real work."""
+                              seed: int = 0, messy: bool = True):
+    """Synthetic multi-chromosome BAM + genome with planted SNVs so both
+    the dense gVCF path and the candidate-scoring path do real work.
+
+    messy=True (the default, and what every committed stage measures)
+    additionally makes the read profile reference-realistic instead of
+    uniformly clean 100M/Q30: ~1% of reads carry a 2bp CIGAR insertion or
+    deletion, ~10% are 8bp-softclipped at one end, and ~20% have a
+    low-quality (Q12) 15bp tail. These exercise the indel/softclip
+    branches of the CIGAR walk and the quality-filter path at scale
+    (reference hot profile: CandidateVariantFinder.cs:90-168,
+    AlleleCountHelper.cs:22-80, CoverageCalculator.cs:162-331)."""
     import shutil
 
     from pisces_tpu.io.bam_write import BamRecord, BamWriter, parse_cigar_string
@@ -187,29 +196,60 @@ def _write_synthetic_workload(tmp: str, n_chroms: int, chrom_len: int,
         f.write('<sequenceSizes genomeName="b">\n' + "\n".join(gs)
                 + "\n</sequenceSizes>")
 
-    # plant variant sites: SNVs at ~variant_rate of read starts + a few indels
-    w = BamWriter(os.path.join(tmp, "b.bam"), chroms, [chrom_len] * n_chroms)
-    cig = parse_cigar_string(f"{read_len}M")
+    # prebuilt cigar variants (parse once, reuse per read)
+    cig_clean = parse_cigar_string(f"{read_len}M")
+    half = read_len // 2
+    cig_ins = parse_cigar_string(f"{half - 2}M2I{read_len - half}M")
+    cig_del = parse_cigar_string(f"{half - 1}M2D{read_len - half + 1}M")
+    cig_sc_l = parse_cigar_string(f"8S{read_len - 8}M")
+    cig_sc_r = parse_cigar_string(f"{read_len - 8}M8S")
     q30 = [30] * read_len
+    q_dip = [30] * (read_len - 15) + [12] * 15
+
+    w = BamWriter(os.path.join(tmp, "b.bam"), chroms, [chrom_len] * n_chroms)
     per_chrom = n_reads // n_chroms
     var_sites = {c: rng.integers(1, chrom_len - read_len,
                                  max(8, int(chrom_len * variant_rate / 10)))
                  for c in chroms}
     for ci, c in enumerate(chroms):
         seq = seqs[c]
-        positions = np.sort(rng.integers(1, chrom_len - read_len, per_chrom))
+        positions = np.sort(rng.integers(1, chrom_len - read_len - 4,
+                                         per_chrom))
         sites = np.sort(var_sites[c])
+        cls = rng.random(per_chrom) if messy else np.ones(per_chrom)
+        dip = rng.random(per_chrom) < 0.2 if messy else np.zeros(per_chrom,
+                                                                 bool)
         for i in range(per_chrom):
             p = int(positions[i])
-            rseq = bytearray(seq[p - 1:p - 1 + read_len].tobytes())
-            # plant a SNV on ~40% of reads covering a variant site
-            j = np.searchsorted(sites, p)
-            if j < len(sites) and sites[j] < p + read_len and i % 5 < 2:
-                off = int(sites[j]) - p
-                rseq[off] = b"ACGT"[(seq[sites[j] - 1] + 1) % 4]
+            cigar = cig_clean
+            r = cls[i]
+            if r < 0.005:        # 2bp insertion mid-read
+                rseq = bytearray(seq[p - 1:p - 1 + half - 2].tobytes())
+                rseq += bytes(bases[rng.integers(0, 4, 2)])
+                rseq += seq[p - 1 + half - 2:p - 1 + read_len - 2].tobytes()
+                cigar = cig_ins
+            elif r < 0.01:       # 2bp deletion mid-read
+                rseq = bytearray(seq[p - 1:p - 1 + half - 1].tobytes())
+                rseq += seq[p + half:p + read_len + 1].tobytes()
+                cigar = cig_del
+            elif r < 0.06:       # leading 8bp softclip (random bases)
+                rseq = bytearray(bytes(bases[rng.integers(0, 4, 8)]))
+                rseq += seq[p - 1:p - 1 + read_len - 8].tobytes()
+                cigar = cig_sc_l
+            elif r < 0.11:       # trailing 8bp softclip
+                rseq = bytearray(seq[p - 1:p - 1 + read_len - 8].tobytes())
+                rseq += bytes(bases[rng.integers(0, 4, 8)])
+                cigar = cig_sc_r
+            else:
+                rseq = bytearray(seq[p - 1:p - 1 + read_len].tobytes())
+                # plant a SNV on ~40% of clean reads covering a variant site
+                j = np.searchsorted(sites, p)
+                if j < len(sites) and sites[j] < p + read_len and i % 5 < 2:
+                    off = int(sites[j]) - p
+                    rseq[off] = b"ACGT"[(seq[sites[j] - 1] + 1) % 4]
             w.records.append(BamRecord(
                 f"r{ci}_{i}", ci, p - 1, 60, 0x10 if i & 1 else 0,
-                cig, rseq.decode(), q30))
+                cigar, rseq.decode(), q_dip if dip[i] else q30))
     w.write()
     return os.path.join(tmp, "b.bam"), os.path.join(tmp, "genome")
 
@@ -217,12 +257,23 @@ def _write_synthetic_workload(tmp: str, n_chroms: int, chrom_len: int,
 def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
                           chrom_len: int = 33_000_000, read_len: int = 100,
                           base_error_rate: float = 0.001,
-                          n_var_sites: int = 3000, seed: int = 0):
+                          n_var_sites: int = 3000, seed: int = 0,
+                          messy: bool = True):
     """WGS-scale single-chromosome workload (~30x depth), generated fully
-    vectorized: records are assembled as one structured-dtype array (all
-    reads share the 100M cigar shape), BGZF-compressed by the native
-    thread pool, and the .bai is built from vectorized bins/voffsets.
-    A per-record Python encode loop would take minutes at 10M reads."""
+    vectorized: records are assembled as structured-dtype arrays (one per
+    CIGAR shape class), BGZF-compressed by the native thread pool, and the
+    .bai is built from vectorized bins/voffsets. A per-record Python
+    encode loop would take minutes at 10M reads.
+
+    messy=True gives the reads a reference-realistic profile instead of
+    uniformly clean 100M/Q30 (VERDICT r04 missing #1): ~1% carry a 2bp
+    CIGAR insertion/deletion, ~10% are 8bp-softclipped at one end, and
+    ~20% have a Q12 15bp tail — exercising the indel/softclip branches of
+    the CIGAR walk and quality filtering at scale (reference profile:
+    CandidateVariantFinder.cs:90-168, CoverageCalculator.cs:162-331).
+    Records of different CIGAR lengths have different byte sizes, so the
+    classes are assembled separately and merged byte-wise in position
+    order."""
     import shutil
 
     from pisces_tpu.io.bai import (
@@ -256,16 +307,67 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
                 f'totalBases="{chrom_len}" isCircular="false" md5="x" '
                 f'ploidy="2" knownBases="{chrom_len}" />\n</sequenceSizes>')
 
-    pos0 = np.sort(rng.integers(0, chrom_len - read_len, n_reads)
+    pos0 = np.sort(rng.integers(0, chrom_len - read_len - 3, n_reads)
                    ).astype(np.int64)
-    # read sequences from the reference, vectorized gather
-    reads = seq[pos0[:, None] + np.arange(read_len)[None, :]].copy()
+    # CIGAR-shape class per read: 0=clean 100M, 1=8S92M, 2=92M8S,
+    # 3=48M2I50M, 4=49M2D51M (messy=False -> all clean)
+    if messy:
+        u = rng.random(n_reads)
+        cls = np.select([u < 0.89, u < 0.94, u < 0.99, u < 0.995],
+                        [0, 1, 2, 3], default=4).astype(np.int8)
+    else:
+        cls = np.zeros(n_reads, np.int8)
+    half = read_len // 2
+    # per-class: cigar ops, reference span
+    cig_ops = [np.array([(read_len << 4) | 0], np.uint32),
+               np.array([(8 << 4) | 4, ((read_len - 8) << 4) | 0],
+                        np.uint32),
+               np.array([((read_len - 8) << 4) | 0, (8 << 4) | 4],
+                        np.uint32),
+               np.array([((half - 2) << 4) | 0, (2 << 4) | 1,
+                         ((read_len - half) << 4) | 0], np.uint32),
+               np.array([((half - 1) << 4) | 0, (2 << 4) | 2,
+                         ((read_len - half + 1) << 4) | 0], np.uint32)]
+    spans = np.array([read_len, read_len - 8, read_len - 8,
+                      read_len - 2, read_len + 2], np.int64)
+    end0 = pos0 + spans[cls]
+
+    # read sequences: class-specific vectorized gathers
+    reads = np.empty((n_reads, read_len), np.uint8)
+    ar = np.arange(read_len)
+    m0 = cls == 0
+    reads[m0] = seq[pos0[m0, None] + ar[None, :]]
+    if messy:
+        m1 = cls == 1  # 8S92M: 8 random then ref
+        reads[m1, :8] = bases[rng.integers(0, 4, (int(m1.sum()), 8))]
+        reads[np.flatnonzero(m1)[:, None], ar[None, 8:]] = \
+            seq[pos0[m1, None] + ar[None, :read_len - 8]]
+        m2 = cls == 2  # 92M8S
+        reads[np.flatnonzero(m2)[:, None], ar[None, :read_len - 8]] = \
+            seq[pos0[m2, None] + ar[None, :read_len - 8]]
+        reads[m2, read_len - 8:] = bases[
+            rng.integers(0, 4, (int(m2.sum()), 8))]
+        m3 = cls == 3  # 48M 2I 50M
+        i3 = np.flatnonzero(m3)
+        reads[i3[:, None], ar[None, :half - 2]] = \
+            seq[pos0[m3, None] + ar[None, :half - 2]]
+        reads[m3, half - 2:half] = bases[rng.integers(0, 4,
+                                                      (i3.size, 2))]
+        reads[i3[:, None], ar[None, half:]] = \
+            seq[pos0[m3, None] + (half - 2) + ar[None, :read_len - half]]
+        m4 = cls == 4  # 49M 2D 51M
+        i4 = np.flatnonzero(m4)
+        reads[i4[:, None], ar[None, :half - 1]] = \
+            seq[pos0[m4, None] + ar[None, :half - 1]]
+        reads[i4[:, None], ar[None, half - 1:]] = \
+            seq[pos0[m4, None] + (half + 1) + ar[None, :read_len - half + 1]]
     # Q30-consistent random error floor (sparse)
     n_err = int(rng.binomial(n_reads * read_len, base_error_rate))
     flat = rng.integers(0, n_reads * read_len, n_err)
     er, ec = flat // read_len, flat % read_len
     reads[er, ec] = bases[(np.searchsorted(bases, reads[er, ec]) + 1) % 4]
-    # planted SNV sites at ~30% VF (candidate path does real work)
+    # planted SNV sites at ~30% VF on clean reads (~27% realized overall;
+    # the candidate path does real work)
     sites = np.sort(rng.choice(
         np.arange(read_len, chrom_len - read_len, 2 * read_len),
         size=n_var_sites, replace=False))
@@ -275,33 +377,23 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
         if hi <= lo:
             continue
         cover = np.arange(lo, hi)
+        cover = cover[cls[cover] == 0]
         carriers = cover[rng.random(cover.size) < 0.3]
         alt = bases[(int(np.searchsorted(bases, seq[s])) + 2) % 4]
         reads[carriers, s - pos0[carriers]] = alt
 
-    # structured-record assembly (layout mirrors BamRecord.encode)
+    # structured-record assembly (layout mirrors BamRecord.encode), one
+    # array per cigar-op count; merged byte-wise in position order below
     name_len = 10  # "r%08d" + NUL
-    n_cigar = 1
     packed = (read_len + 1) // 2
-    rec_size = 4 + 32 + name_len + 4 * n_cigar + packed + read_len
-    block_size = rec_size - 4
-    rec_dt = np.dtype({
-        "names": ["block_size", "ref_id", "pos", "l_name", "mapq", "bin",
-                  "n_cigar", "flag", "l_seq", "next_ref", "next_pos",
-                  "tlen", "name", "cigar", "seq", "qual"],
-        "formats": ["<i4", "<i4", "<i4", "u1", "u1", "<u2", "<u2", "<u2",
-                    "<i4", "<i4", "<i4", "<i4", f"S{name_len}", "<u4",
-                    f"({packed},)u1", f"({read_len},)u1"],
-        "offsets": [0, 4, 8, 12, 13, 14, 16, 18, 20, 24, 28, 32, 36,
-                    36 + name_len, 40 + name_len, 40 + name_len + packed],
-        "itemsize": rec_size})
-    recs = np.zeros(n_reads, rec_dt)
-    recs["block_size"] = block_size
-    recs["ref_id"] = 0
-    recs["pos"] = pos0
-    recs["l_name"] = name_len
-    recs["mapq"] = 60
-    end0 = pos0 + read_len
+    from pisces_tpu.io.bam_write import _NIBBLE_LUT
+    nib = _NIBBLE_LUT[reads]
+    seq_packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+    del reads, nib
+    # quality: base 30 with a 15bp Q12 tail on ~20% of reads
+    dip = (rng.random(n_reads) < 0.2) if messy else np.zeros(n_reads, bool)
+    names = np.char.mod(b"r%08d", np.arange(n_reads))
+    flags = np.where(np.arange(n_reads) & 1, 16, 0).astype(np.uint16)
     # vectorized reg2bin, ALL levels (a read crossing a 128kb boundary
     # must land in the coarser bin or indexed queries can miss it —
     # io/bai.py reg2bin semantics)
@@ -313,33 +405,77 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
         [4681 + (pos0 >> 14), 585 + (pos0 >> 17), 73 + (pos0 >> 20),
          9 + (pos0 >> 23), 1 + (pos0 >> 26)],
         default=0).astype(np.int64)
-    recs["bin"] = bins_all.astype(np.uint16)
-    recs["n_cigar"] = n_cigar
-    recs["flag"] = np.where(np.arange(n_reads) & 1, 16, 0).astype(np.uint16)
-    recs["l_seq"] = read_len
-    recs["next_ref"] = -1
-    recs["next_pos"] = -1
-    recs["name"] = np.char.mod(b"r%08d", np.arange(n_reads))
-    recs["cigar"] = (read_len << 4) | 0
-    from pisces_tpu.io.bam_write import _NIBBLE_LUT
-    nib = _NIBBLE_LUT[reads]
-    recs["seq"] = (nib[:, 0::2] << 4) | nib[:, 1::2]
-    recs["qual"] = 30
-    del reads, nib
 
+    def _rec_dtype(n_cigar):
+        rec_size = 4 + 32 + name_len + 4 * n_cigar + packed + read_len
+        return rec_size, np.dtype({
+            "names": ["block_size", "ref_id", "pos", "l_name", "mapq",
+                      "bin", "n_cigar", "flag", "l_seq", "next_ref",
+                      "next_pos", "tlen", "name", "cigar", "seq", "qual"],
+            "formats": ["<i4", "<i4", "<i4", "u1", "u1", "<u2", "<u2",
+                        "<u2", "<i4", "<i4", "<i4", "<i4", f"S{name_len}",
+                        f"({n_cigar},)<u4", f"({packed},)u1",
+                        f"({read_len},)u1"],
+            "offsets": [0, 4, 8, 12, 13, 14, 16, 18, 20, 24, 28, 32, 36,
+                        36 + name_len, 36 + name_len + 4 * n_cigar,
+                        36 + name_len + 4 * n_cigar + packed],
+            "itemsize": rec_size})
+
+    n_ops_of_cls = [1, 2, 2, 3, 3]
+    sizes_by_ops = {nc: _rec_dtype(nc)[0] for nc in (1, 2, 3)}
+    rec_sizes = np.array([sizes_by_ops[n_ops_of_cls[c]]
+                          for c in range(5)], np.int64)[cls]
     w = BamWriter(os.path.join(tmp, "wgs.bam"), [chrom], [chrom_len])
     header = w.header_bytes()
-    raw = header + recs.tobytes()
-    del recs
-    out, block_off = bgzf_compress_parallel(raw)
-    n_raw = len(raw)
+    ustart = np.concatenate([[0], np.cumsum(rec_sizes)]) + len(header)
+    n_raw = int(ustart[-1])
+    raw = np.empty(n_raw, np.uint8)
+    raw[:len(header)] = np.frombuffer(header, np.uint8)
+    for nc in (1, 2, 3):
+        sel = np.flatnonzero(np.isin(cls, [c for c in range(5)
+                                           if n_ops_of_cls[c] == nc]))
+        if sel.size == 0:
+            continue
+        rec_size, rec_dt = _rec_dtype(nc)
+        recs = np.zeros(sel.size, rec_dt)
+        recs["block_size"] = rec_size - 4
+        recs["pos"] = pos0[sel]
+        recs["l_name"] = name_len
+        recs["mapq"] = 60
+        recs["bin"] = bins_all[sel].astype(np.uint16)
+        recs["n_cigar"] = nc
+        recs["flag"] = flags[sel]
+        recs["l_seq"] = read_len
+        recs["next_ref"] = -1
+        recs["next_pos"] = -1
+        recs["name"] = names[sel]
+        for c in range(5):
+            if n_ops_of_cls[c] != nc:
+                continue
+            in_sel = cls[sel] == c
+            recs["cigar"][in_sel] = cig_ops[c][None, :]
+        recs["seq"] = seq_packed[sel]
+        recs["qual"] = 30
+        if dip.any():
+            recs["qual"][dip[sel], read_len - 15:] = 12
+        rows = recs.view(np.uint8).reshape(sel.size, rec_size)
+        # chunked scatter: a full fancy-index matrix at 10M reads would
+        # allocate tens of GB of int64 indices
+        offs = ustart[sel]
+        CH = 500_000
+        for i0 in range(0, sel.size, CH):
+            i1 = min(i0 + CH, sel.size)
+            idx = offs[i0:i1, None] + np.arange(rec_size)[None, :]
+            raw[idx] = rows[i0:i1]
+        del recs, rows
+    del seq_packed
+    out, block_off = bgzf_compress_parallel(raw.tobytes())
     del raw
     with open(w.path, "wb") as f:
         f.write(out)
     del out
 
     # vectorized .bai: chunk runs per bin + linear index
-    ustart = len(header) + np.arange(n_reads + 1, dtype=np.int64) * rec_size
     blk, within = np.divmod(ustart, 0xFF00)
     voff = (block_off[blk].astype(np.int64) << 16) | within
     ref = RefIndex()
@@ -367,7 +503,6 @@ def generate_wgs_workload(tmp: str, n_reads: int = 10_000_000,
     # fill empty windows backward like BaiBuilder (0 means "no smaller")
     ref.linear = linear.tolist()
     write_bai(BamIndex([ref], 0), w.path + ".bai")
-    assert n_raw == ustart[-1]
     return w.path, gdir
 
 
@@ -513,12 +648,18 @@ def bench_candidates(iters: int = CHAIN_ITERS):
 # crash (rc=139) or hung compile cannot take down the metric line
 # ---------------------------------------------------------------------------
 
-def _run_stage(stage: str, timeout_s: int, final: bool = True) -> bool:
+def _run_stage(stage: str, timeout_s: int, final: bool = True,
+               tail_lines=None) -> bool:
     """Run one informational stage in a subprocess; returns success.
     final=False marks a first attempt that will be retried at the end —
     its timeout prints a deferral note, not a failure line (the shared
     chip has transient busy phases where the same kernel's compile takes
-    1.5-14 min; a later retry usually lands)."""
+    1.5-14 min; a later retry usually lands).
+    Stages emit two kinds of lines: "STAGE <verbose>" (relayed live to
+    stderr) and "TAIL <short>" (collected into tail_lines and re-printed
+    by main() right before the final metric JSON — the driver records only
+    the LAST 2000 chars of output, so the compact block is what survives
+    into BENCH_r{N}.json)."""
     env = dict(os.environ)
     # never pass a PYTHONPATH that hides the axon plugin
     pp = env.get("PYTHONPATH", "")
@@ -532,6 +673,8 @@ def _run_stage(stage: str, timeout_s: int, final: bool = True) -> bool:
         for line in (r.stdout + r.stderr).splitlines():
             if line.startswith("STAGE "):
                 print(line[6:], file=sys.stderr, flush=True)
+            elif line.startswith("TAIL ") and tail_lines is not None:
+                tail_lines.append(line[5:])
         if r.returncode != 0:
             tail = (r.stderr or r.stdout).strip().splitlines()[-2:]
             print(f"stage {stage} failed rc={r.returncode}: {tail}",
@@ -545,6 +688,8 @@ def _run_stage(stage: str, timeout_s: int, final: bool = True) -> bool:
         for line in partial.splitlines():
             if line.startswith("STAGE "):
                 print(line[6:], file=sys.stderr, flush=True)
+            elif line.startswith("TAIL ") and tail_lines is not None:
+                tail_lines.append(line[5:])
         if not final:
             print(f"(stage {stage}: compile exceeded {timeout_s}s — "
                   f"transient chip-busy phase; retrying after the other "
@@ -555,6 +700,13 @@ def _run_stage(stage: str, timeout_s: int, final: bool = True) -> bool:
                   f"for the same kernel; README 'TPU design notes' records "
                   f"the completed measurements)", file=sys.stderr, flush=True)
         return False
+
+
+def _emit(verbose: str, short: str = None) -> None:
+    """Print a verbose STAGE line (live stderr relay) and a compact TAIL
+    line (survives into the driver's 2000-char BENCH_r{N}.json record)."""
+    print("STAGE " + verbose, flush=True)
+    print("TAIL " + (short if short is not None else verbose), flush=True)
 
 
 def _stage_main(stage: str) -> None:
@@ -577,34 +729,39 @@ def _stage_main(stage: str) -> None:
         return
     if stage == "e2e":
         e2e_reads, e2e_loci = bench_end_to_end(use_device=use_device)
-        print(f"STAGE end-to-end: {e2e_reads:,.0f} reads/s, {e2e_loci:,.0f} "
-              f"gvcf loci/s (single thread, {backend} scoring)", flush=True)
+        _emit(f"end-to-end: {e2e_reads:,.0f} reads/s, {e2e_loci:,.0f} "
+              f"gvcf loci/s (single thread, {backend} scoring)",
+              f"e2e 1thr: {e2e_reads:,.0f} r/s {e2e_loci:,.0f} loci/s "
+              f"({backend})")
     elif stage == "wes":
         host_r, host_l, host_w = bench_end_to_end_wes(use_device=False)
         n_thr = max(1, min(4, os.cpu_count() or 1))
-        print(f"STAGE WES-scale e2e (4 chrom, 160k reads, planted variants, "
+        _emit(f"WES-scale e2e (4 chrom, 160k MESSY reads — ~1% CIGAR "
+              f"indels, ~10% softclips, quality dips — planted variants, "
               f"{n_thr} threads, host scoring): {host_w:.1f}s wall = "
               f"{host_r:,.0f} reads/s, {host_l:,.0f} gvcf loci/s. "
-              f"NOTE: no dotnet runtime in this environment; BASELINE.md's "
-              f">=10x-vs-dotnet target is tracked via this committed "
-              f"per-round trend (BENCH_r*.json), with the byte-parity suite "
-              f"pinning output equivalence.", flush=True)
+              f"NOTE: no dotnet runtime here; BASELINE.md's >=10x target "
+              f"is tracked via this committed per-round trend.",
+              f"WES messy {n_thr}thr host: {host_w:.1f}s "
+              f"{host_r:,.0f} r/s {host_l:,.0f} loci/s")
         if use_device:
             wes_reads, wes_loci, wes_wall = bench_end_to_end_wes(
                 use_device=True)
-            print(f"STAGE WES-scale e2e ({backend} scoring; over the axon "
+            _emit(f"WES-scale e2e ({backend} scoring; over the axon "
                   f"tunnel device dispatch pays ~40ms RTT per batch, so "
                   f"host wins here — locally-attached chips invert this): "
                   f"{wes_wall:.1f}s wall = {wes_reads:,.0f} reads/s",
-                  flush=True)
+                  f"WES messy {backend}: {wes_wall:.1f}s "
+                  f"{wes_reads:,.0f} r/s")
     elif stage == "real":
         for name, n_reads, dt, n_lines, cold in bench_real_bams(
                 use_device=use_device):
-            print(f"STAGE real-data e2e {name}: {n_reads:,} reads in "
+            _emit(f"real-data e2e {name}: {n_reads:,} reads in "
                   f"{dt:.3f}s steady-state = {n_reads / dt:,.0f} reads/s "
                   f"(cold first-run {cold:.2f}s = {n_reads / cold:,.0f} "
                   f"reads/s), {n_lines} vcf lines ({backend} scoring)",
-                  flush=True)
+                  f"{name}: {n_reads / dt:,.0f} r/s steady, cold "
+                  f"{cold:.2f}s, {n_lines} lines ({backend})")
     elif stage == "scylla":
         import shutil
 
@@ -621,9 +778,9 @@ def _stage_main(stage: str) -> None:
         dt = time.perf_counter() - t0
         n = sum(1 for l in open(os.path.join(tmp, "Bcereus_S4.phased.vcf"))
                 if not l.startswith("#"))
-        print(f"STAGE scylla phasing (real Bcereus_S4): {dt:.2f}s, "
+        _emit(f"scylla phasing (real Bcereus_S4): {dt:.2f}s, "
               f"{n} output lines (full-file oracle parity pinned in tests)",
-              flush=True)
+              f"scylla Bcereus: {dt:.2f}s {n} lines")
     elif stage == "gemini":
         import shutil
 
@@ -647,11 +804,13 @@ def _stage_main(stage: str) -> None:
             out = run_gemini(bam, gdir, os.path.join(tmp, "out.bam"))
         dt = (time.perf_counter() - t0) / iters
         n_out = BamReader(out).fetch(None).n
-        print(f"STAGE gemini preprocess (stitch+realign, real "
+        _emit(f"gemini preprocess (stitch+realign, real "
               f"Chr17Chr19.bam): {n_reads:,} reads in {dt:.3f}s "
               f"steady-state = {n_reads / dt:,.0f} reads/s (cold first-run "
               f"{cold:.2f}s = {n_reads / cold:,.0f} reads/s), "
-              f"{n_out:,} reads out", flush=True)
+              f"{n_out:,} reads out",
+              f"gemini Chr17Chr19: {n_reads / dt:,.0f} r/s steady, "
+              f"cold {cold:.2f}s")
     elif stage == "titration":
         # host scoring: accuracy is identical (byte-parity pinned in tests)
         # and the stage must land inside its budget — per-batch device
@@ -666,23 +825,63 @@ def _stage_main(stage: str) -> None:
         parts = "; ".join(
             f"VF {p.vf:.0%}: R {p.recall:.2f} P {p.precision:.2f}"
             for p in sorted(points.values(), key=lambda p: p.vf))
-        print(f"STAGE somatic titration accuracy (planted truth, canonical "
+        _emit(f"somatic titration accuracy (planted truth, canonical "
               f"somatic flags, host scoring, {dt:.0f}s): {parts}",
-              flush=True)
-        # the paper's low-VF operating regime (run_analysis.sh:84-135):
+              f"titration: {parts}")
+    elif stage == "lowvf":
+        # the paper's low-VF operating regime (run_analysis.sh:84-135) at
+        # STATISTICAL scale: >=100 planted sites per VF point on the
+        # 1/1.5/2% ladder, Wilson CIs on recall (VERDICT r04 weak #5);
         # deep targeted depth + noise model matched to the Q30 floor
+        from pisces_tpu.apps.titration import run_titration
         t0 = time.perf_counter()
-        deep = run_titration("/tmp/pisces_tpu_bench_titr_deep",
-                             vf_points=(0.01, 0.02), sites_per_point=15,
-                             depth=2000, min_bq=30, chrom_len=18_000,
-                             use_device=False, seed=19)
+        deep = run_titration("/tmp/pisces_tpu_bench_lowvf",
+                             vf_points=(0.01, 0.015, 0.02),
+                             sites_per_point=100, depth=2000, min_bq=30,
+                             chrom_len=70_000, use_device=False, seed=19)
         dt = time.perf_counter() - t0
         parts = "; ".join(
-            f"VF {p.vf:.0%}: R {p.recall:.2f} P {p.precision:.2f} "
-            f"(tp={p.tp} fp={p.fp} fn={p.fn})"
+            f"VF {p.vf:.1%}: R {p.recall:.2f} "
+            f"[{p.recall_ci[0]:.2f},{p.recall_ci[1]:.2f}] "
+            f"P {p.precision:.2f} n={p.n_sites}"
             for p in sorted(deep.values(), key=lambda p: p.vf))
-        print(f"STAGE low-VF somatic titration (depth 2000x, -minbq 30 -> "
-              f"NL 30, {dt:.0f}s): {parts}", flush=True)
+        _emit(f"low-VF somatic titration (depth 2000x, -minbq 30 -> NL 30, "
+              f"100 sites/point, 95% Wilson CI, {dt:.0f}s): {parts}",
+              f"lowVF 2000x n=100/pt: {parts}")
+    elif stage == "germline":
+        # hap.py-analog germline arm (run_analysis.sh:142+): diploid
+        # thresholding AND adaptive models, genotype-aware scoring
+        from pisces_tpu.apps.accuracy import run_germline
+        t0 = time.perf_counter()
+        thr = run_germline("/tmp/pisces_tpu_bench_germ", seed=11)
+        ada = run_germline("/tmp/pisces_tpu_bench_germ_a", adaptive=True,
+                           seed=11)
+        dt = time.perf_counter() - t0
+        parts = "; ".join(
+            f"{m} {z}: R {r[z].recall:.2f} P {r[z].precision:.2f} "
+            f"GT {r[z].gt_concordance:.2f}"
+            for m, r in (("thr", thr), ("adpt", ada))
+            for z in ("het", "hom"))
+        _emit(f"germline accuracy (planted het/hom SNV+indel truth, "
+              f"genotype-aware hap.py-style scoring, {dt:.0f}s): {parts}",
+              f"germline: {parts}")
+    elif stage == "mnv":
+        # phased-MNV accuracy: direct -CallMNVs AND the Pisces->Scylla
+        # 2-stage flow on planted multi-site haplotypes
+        from pisces_tpu.apps.accuracy import run_mnv_accuracy
+        t0 = time.perf_counter()
+        direct = run_mnv_accuracy("/tmp/pisces_tpu_bench_mnv", mode="mnv",
+                                  seed=13)
+        phased = run_mnv_accuracy("/tmp/pisces_tpu_bench_mnv_s",
+                                  mode="scylla", seed=13)
+        dt = time.perf_counter() - t0
+        _emit(f"phased-MNV accuracy (planted 2-3-site haplotypes, "
+              f"{dt:.0f}s): CallMNVs R {direct.recall:.2f} "
+              f"P {direct.precision:.2f} (n={direct.n_truth}); "
+              f"Scylla R {phased.recall:.2f} P {phased.precision:.2f}",
+              f"MNV: direct R {direct.recall:.2f} P {direct.precision:.2f};"
+              f" scylla R {phased.recall:.2f} P {phased.precision:.2f} "
+              f"n={direct.n_truth}")
     elif stage == "wgs":
         # WGS-scale bounded-memory streaming proof: ~10M reads / 33Mb
         # chromosome (~30x) through -WindowSize slices; reports wall,
@@ -725,11 +924,14 @@ def _stage_main(stage: str) -> None:
         n_lines = sum(1 for l in open(vcf) if not l.startswith("#"))
         peak_gb = resource.getrusage(
             resource.RUSAGE_SELF).ru_maxrss / (1024 ** 2)
-        print(f"STAGE WGS-scale streaming e2e (-WindowSize 2M, 1 chrom, "
-              f"{n_reads:,} reads, 33Mb, ~30x): {dt:.1f}s wall = "
+        _emit(f"WGS-scale streaming e2e (-WindowSize 2M, 1 chrom, "
+              f"{n_reads:,} MESSY reads (~1% indels, ~10% softclips), "
+              f"33Mb, ~30x): {dt:.1f}s wall = "
               f"{n_reads / dt:,.0f} reads/s, {n_lines:,} gvcf lines, "
               f"peak RSS {peak_gb:.1f} GB (workload generated in a child "
-              f"process, {gen_s:.0f}s), host scoring", flush=True)
+              f"process, {gen_s:.0f}s), host scoring",
+              f"WGS messy 10M reads: {dt:.0f}s {n_reads / dt:,.0f} r/s "
+              f"RSS {peak_gb:.1f}GB")
     elif stage == "wgs-gen":
         generate_wgs_workload("/tmp/pisces_tpu_bench_wgs")
         print("STAGE wgs-gen done", flush=True)
@@ -755,25 +957,44 @@ def _stage_main(stage: str) -> None:
         single = process_bam_multihost(o, bam, gdir, use_device=False)
         la = [l for l in open(single) if not l.startswith("##")]
         lb = [l for l in open(merged) if not l.startswith("##")]
-        print(f"STAGE multihost (REAL jax.distributed, 2 coordinator-joined "
+        _emit(f"multihost (REAL jax.distributed, 2 coordinator-joined "
               f"processes, CPU backend): process_count=2 "
               f"vcf_lines={len(lb)} byte_equal={la == lb} wall={dt:.1f}s",
-              flush=True)
+              f"multihost real 2-proc: byte_equal={la == lb} "
+              f"wall={dt:.1f}s")
     elif stage == "candidates":
         rate = bench_candidates()
-        print(f"STAGE candidate-path kernel: {rate:,.0f} candidates/s/chip "
-              f"(fused score_snv_loci, chained, {backend})", flush=True)
+        _emit(f"candidate-path kernel: {rate:,.0f} candidates/s/chip "
+              f"(fused score_snv_loci, chained, {backend})",
+              f"XLA candidates kernel: {rate:,.0f} cand/s ({backend})")
     elif stage == "pallas":
         rng = np.random.default_rng(0)
         L = 1 << 20
         cov = rng.integers(0, 90, size=(L, 3)).astype(np.int32)
         sup = (cov * rng.random((L, 3))).astype(np.int32)
         rate = bench_pallas_chained(sup, cov)
-        print(f"STAGE pallas tuple kernel: {rate:,.0f} loci/s/chip "
+        _emit(f"pallas tuple kernel: {rate:,.0f} loci/s/chip "
               f"(fixed-series; XLA igamma kernel is the production path — "
-              f"measured faster on v5e)", flush=True)
+              f"measured faster on v5e)",
+              f"pallas tuple kernel: {rate:,.0f} loci/s ({backend})")
     else:
         raise SystemExit(f"unknown stage {stage}")
+
+
+def _cpu_sample():
+    """(busy_ticks, steal_ticks, total_ticks) from /proc/stat; zeros if
+    unavailable. Used to annotate the committed JSON with the box's
+    contention during the run (VERDICT r04 weak #2: a committed e2e line
+    halved with no way to tell regression from noisy neighbor)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        return sum(vals) - idle, steal, sum(vals)
+    except Exception:
+        return 0, 0, 0
 
 
 def main():
@@ -838,9 +1059,7 @@ def main():
     except Exception as e:
         print(f"utilization e2e failed ({e})", file=sys.stderr, flush=True)
 
-    # the driver contract line goes out FIRST: every bench below is
-    # informational trend data running in its own subprocess
-    print(json.dumps({
+    metric = {
         "metric": "candidate loci scored/sec/chip",
         "value": round(device_rate),
         "unit": "loci/s",
@@ -849,24 +1068,53 @@ def main():
         "e2e_loci_per_s": round(e2e_loci_per_s),
         "kernel_utilization_pct": round(
             100.0 * e2e_loci_per_s / max(device_rate, 1), 4),
-    }), flush=True)
+    }
+    # safety-net copy (a crash mid-stage may still leave this in the tail);
+    # the authoritative copy is printed LAST — the driver records only the
+    # final 2000 chars of output, and BENCH_r04.json lost this line by
+    # printing it first (parsed: null)
+    print(json.dumps(metric), flush=True)
 
+    cpu0 = _cpu_sample()
+    t_run0 = time.perf_counter()
     # cheap, VERDICT-critical stages first so a driver-side cutoff on a
     # slow-tunnel night costs only the tail; the two TPU-compile stages
     # (candidates, pallas) and the big wgs run go last with wide budgets
     # (compile over the axon tunnel measured 1.5-14 min across nights)
     retry_once = {"candidates", "pallas"}
     deferred = []
-    for stage, timeout_s in [("real", 240), ("gemini", 180),
-                             ("titration", 240), ("multihost", 240),
+    tail_lines = []
+    for stage, timeout_s in [("real", 240), ("gemini", 240),
+                             ("titration", 240), ("lowvf", 600),
+                             ("germline", 300), ("mnv", 300),
+                             ("multihost", 300),
                              ("e2e", 240), ("wes", 300), ("scylla", 180),
                              ("wgs", 1000),
                              ("candidates", 480), ("pallas", 700)]:
-        ok = _run_stage(stage, timeout_s, final=stage not in retry_once)
+        ok = _run_stage(stage, timeout_s, final=stage not in retry_once,
+                        tail_lines=tail_lines)
         if not ok and stage in retry_once:
             deferred.append((stage, timeout_s))
     for stage, timeout_s in deferred:
-        _run_stage(stage, timeout_s, final=True)
+        _run_stage(stage, timeout_s, final=True, tail_lines=tail_lines)
+
+    # contention annotation for the whole stage run (item: distinguish a
+    # real regression from a noisy neighbor on this shared 2-core VM)
+    cpu1 = _cpu_sample()
+    d_total = max(cpu1[2] - cpu0[2], 1)
+    metric["steal_pct"] = round(100.0 * (cpu1[1] - cpu0[1]) / d_total, 2)
+    metric["host_busy_pct"] = round(100.0 * (cpu1[0] - cpu0[0]) / d_total, 2)
+    try:
+        metric["load1"] = float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        pass
+    metric["stage_wall_s"] = round(time.perf_counter() - t_run0)
+
+    # compact summary block + the metric contract line, LAST: these are
+    # what the driver's 2000-char tail capture preserves into the record
+    for line in tail_lines:
+        print(line[:199], flush=True)
+    print(json.dumps(metric), flush=True)
 
 
 if __name__ == "__main__":

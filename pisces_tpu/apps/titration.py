@@ -56,6 +56,26 @@ class TitrationPoint:
     def precision(self) -> float:
         return self.tp / max(1, self.tp + self.fp)
 
+    @property
+    def recall_ci(self) -> Tuple[float, float]:
+        """95% Wilson score interval on recall (binomial n = tp+fn)."""
+        return wilson_ci(self.tp, self.tp + self.fn)
+
+
+def wilson_ci(k: int, n: int, z: float = 1.959964) -> Tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion k/n — the
+    uncertainty the committed low-VF claims carry (VERDICT r04 weak #5:
+    R=0.67 on n=15 has a ~±0.24 CI; the regime claim must be outside CI
+    noise)."""
+    if n == 0:
+        return 0.0, 1.0
+    p = k / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5) / denom
+    return max(0.0, center - half), min(1.0, center + half)
+
 
 def _write_genome(gdir: str, chrom: str, seq: np.ndarray) -> None:
     os.makedirs(gdir, exist_ok=True)
@@ -152,17 +172,20 @@ def generate_titration_workload(
             rseq[off] = ord("ACGT"[(rseq[off] + 1) % 4])
         cigar = cig
         # plant the covered truth allele on a VF-fraction of reads.
-        # Only reads where the site sits >=8bp from both ends are eligible
-        # carriers, but EVERY spanning read contributes coverage — so the
-        # carrier probability is scaled by the eligible-offset fraction
-        # ((read_len - 16 - (len(ref)-1)) / read_len) to make the realized
-        # site VF match the labeled titration point.
+        # Indel carriers need the site >=8bp from both read ends (CIGAR
+        # mechanics + left-alignment edge effects); SNV carriers can sit
+        # anywhere in the read. EVERY spanning read contributes coverage,
+        # so the carrier probability is scaled by the eligible-offset
+        # fraction to make the realized site VF match the labeled point
+        # (for SNVs the scale is 1: realized VF == labeled VF, which is
+        # what lets hom sites in the germline arm realize VF ~1.0).
         j = int(np.searchsorted(t_pos, p))
         site = truth[j] if j < len(truth) else None
+        margin = 0 if site is None or len(site.ref) == len(site.alt) else 8
         if (site is not None and site.position + len(site.ref) - 1
-                < p + read_len - 8 and site.position - p >= 8
+                < p + read_len - margin and site.position - p >= margin
                 and carrier[i] < site.vf * read_len
-                / max(1, read_len - 16 - (len(site.ref) - 1))):
+                / max(1, read_len - 2 * margin - (len(site.ref) - 1))):
             off = site.position - p
             if len(site.ref) == 2 and len(site.alt) == 1:  # deletion
                 del rseq[off + 1]
@@ -274,10 +297,13 @@ def run_titration(outdir: str,
     points = score_calls(vcf, truth, vf_points)
     csv = os.path.join(outdir, "titration_summary.csv")
     with open(csv, "w") as f:
-        f.write("vf,n_sites,tp,fp,fn,recall,precision\n")
+        f.write("vf,n_sites,tp,fp,fn,recall,precision,"
+                "recall_ci_lo,recall_ci_hi\n")
         for p in sorted(points.values(), key=lambda p: p.vf):
+            lo, hi = p.recall_ci
             f.write(f"{p.vf},{p.n_sites},{p.tp},{p.fp},{p.fn},"
-                    f"{p.recall:.4f},{p.precision:.4f}\n")
+                    f"{p.recall:.4f},{p.precision:.4f},"
+                    f"{lo:.4f},{hi:.4f}\n")
     log(f"titration summary written to {csv}")
     return points
 

@@ -864,6 +864,74 @@ int stitch_pair(
   return 1;
 }
 
+// Stitch many mate pairs in ONE call over the columnar ReadBatch arrays
+// (io/bam.py ReadBatch layout): the per-pair ctypes marshalling of
+// stitch_pair measured ~64us/pair in the warm gemini profile — more than
+// the stitch itself. Pairs are given as (idx1, idx2) read-index arrays,
+// ALREADY ordered so pos[idx1] <= pos[idx2] (the caller's mate ordering);
+// stitch_pair still performs its own clip-adjusted normalization.
+//
+// Outputs land at fixed per-pair strides: cigar entry p at
+// out_ops[p*cig_stride..], sequence/quals at out_seq[p*seq_stride..], XD
+// at out_xd[p*xd_stride..]. ok[p] receives stitch_pair's return code
+// (1 stitched, 0 unstitchable, -1 unsupported -> caller re-runs that pair
+// through the Python path, -2 probe-softclip conflict).
+int stitch_pairs_batch(
+    int64_t n_pairs, const int64_t* idx1, const int64_t* idx2,
+    const int32_t* pos, const uint16_t* flag,
+    const int64_t* cigar_off, const uint8_t* cigar_ops,
+    const int32_t* cigar_lens,
+    const int64_t* seq_off, const int8_t* seq_codes, const uint8_t* qual,
+    const char* code_lut, int lut_len,
+    int min_base_quality, int nify_disagreements, int use_softclipped_bases,
+    int dont_stitch_homopolymer_bridge, int max_read_length,
+    int ignore_probe_softclips, int allow_terminal_dels,
+    int threshold_num_disagreeing, int count_ns_toward_disagreements,
+    int8_t* ok, int64_t* out_pos1,
+    uint8_t* out_ops, int32_t* out_lens, int32_t* out_ncig,
+    int64_t cig_stride,
+    char* out_seq, uint8_t* out_qual, int32_t* out_len, int64_t seq_stride,
+    char* out_xd, int32_t* out_xd_len, int64_t xd_stride,
+    int32_t* out_counts) {
+  std::vector<char> s1, s2;
+  for (int64_t p = 0; p < n_pairs; p++) {
+    int64_t a = idx1[p], b = idx2[p];
+    int64_t ca = cigar_off[a], cb = cigar_off[b];
+    int nc1 = (int)(cigar_off[a + 1] - ca);
+    int nc2 = (int)(cigar_off[b + 1] - cb);
+    int64_t sa = seq_off[a], sb = seq_off[b];
+    int len1 = (int)(seq_off[a + 1] - sa);
+    int len2 = (int)(seq_off[b + 1] - sb);
+    s1.resize(len1);
+    s2.resize(len2);
+    for (int k = 0; k < len1; k++) {
+      int c = seq_codes[sa + k];
+      s1[k] = (c >= 0 && c < lut_len) ? code_lut[c] : 'N';
+    }
+    for (int k = 0; k < len2; k++) {
+      int c = seq_codes[sb + k];
+      s2[k] = (c >= 0 && c < lut_len) ? code_lut[c] : 'N';
+    }
+    int cap = (int)(cig_stride < seq_stride ? cig_stride : seq_stride);
+    ok[p] = (int8_t)stitch_pair(
+        (int64_t)pos[a] + 1, cigar_ops + ca, cigar_lens + ca, nc1,
+        s1.data(), qual + sa, len1,
+        (int64_t)pos[b] + 1, cigar_ops + cb, cigar_lens + cb, nc2,
+        s2.data(), qual + sb, len2,
+        (flag[a] & 0x10) ? 1 : 0, min_base_quality, nify_disagreements,
+        use_softclipped_bases, dont_stitch_homopolymer_bridge,
+        max_read_length, /*pair_is_outie=*/-1,
+        (flag[a] & 0x40) ? 1 : 0, ignore_probe_softclips,
+        allow_terminal_dels, threshold_num_disagreeing,
+        count_ns_toward_disagreements,
+        out_pos1 + p, out_ops + p * cig_stride, out_lens + p * cig_stride,
+        out_ncig + p, out_seq + p * seq_stride, out_qual + p * seq_stride,
+        out_len + p, out_xd + p * xd_stride, out_xd_len + p,
+        out_counts + 3 * p, cap);
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -79,8 +79,43 @@ def _scan_fasta(fasta_path: str) -> Dict[str, Tuple[int, int]]:
     return ranges
 
 
+_CHR_LOAD_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+_CHR_LOAD_LOCK = threading.Lock()
+_CHR_LOAD_CAP = 4
+
+
 def load_chromosome(fasta_path: str, entry: FaiEntry) -> np.ndarray:
-    """Load one chromosome as an uppercase uint8 array (ASCII)."""
+    """Load one chromosome as an uppercase uint8 array (ASCII).
+
+    Cross-instance cache: tools that construct a fresh Genome per
+    invocation (gemini, scylla, satellites) were re-reading the same
+    FASTA every call (~19ms/run of the warm gemini profile on chr19).
+    Keyed by (path, name, mtime, size) so an edited FASTA invalidates;
+    the cached array is marked read-only — callers treat references as
+    immutable everywhere (ChrReference hands out copies via substr)."""
+    try:
+        st = os.stat(fasta_path)
+        key = (os.path.abspath(fasta_path), entry.name, st.st_mtime_ns,
+               st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        with _CHR_LOAD_LOCK:
+            hit = _CHR_LOAD_CACHE.get(key)
+            if hit is not None:
+                _CHR_LOAD_CACHE.move_to_end(key)
+                return hit
+    seq = _load_chromosome_uncached(fasta_path, entry)
+    seq.flags.writeable = False
+    if key is not None:
+        with _CHR_LOAD_LOCK:
+            _CHR_LOAD_CACHE[key] = seq
+            while len(_CHR_LOAD_CACHE) > _CHR_LOAD_CAP:
+                _CHR_LOAD_CACHE.popitem(last=False)
+    return seq
+
+
+def _load_chromosome_uncached(fasta_path: str, entry: FaiEntry) -> np.ndarray:
     ranges = _scan_fasta(fasta_path)
     if entry.name not in ranges:
         raise KeyError(f"{entry.name} not found in {fasta_path}")

@@ -552,10 +552,23 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
 
     stitched_members = set()
     stitch_attempted = set()
-    for name, members in by_name.items():
-        if len(members) != 2:
-            continue
-        i1, i2 = members
+
+    def _emit_stitched(name, i1, i2, result):
+        stats["stitched_pairs"] += 1
+        stitched_members.update((i1, i2))
+        treatment = _treatment_string(
+            i1 in realigned, i2 in realigned, "Stitched",
+            i1 in silence_set, i2 in silence_set)
+        records.append(BamRecord(
+            name, int(batch.ref_id[i1]), result.pos1 - 1,
+            max(int(batch.mapq[i1]), int(batch.mapq[i2])),
+            int(batch.flag[i1]) & ~0x1 & ~0x40 & ~0x80,
+            result.cigar, result.seq, result.qual,
+            tags=_tags_for(i1, treatment, {"XD": result.xd})))
+
+    def _stitch_one(name, i1, i2):
+        """Original per-pair path: handles realigned/silenced/nified
+        members and any input the batched native port refuses."""
         p1, c1, s1, q1 = _read_tuple(batch, i1)
         p2, c2, s2, q2 = _read_tuple(batch, i2)
         q1, q2 = _quals_for(i1, q1), _quals_for(i2, q2)
@@ -581,19 +594,67 @@ def process_chromosome(chrom_name: str, refseq: np.ndarray, batch: ReadBatch,
             options.max_num_disagreeing_bases,
             count_ns_toward_disagreements=
             options.count_ns_toward_disagreements)
-        stitch_attempted.update(members)
+        stitch_attempted.update((i1, i2))
         if result is not None:
-            stats["stitched_pairs"] += 1
-            stitched_members.update(members)
-            treatment = _treatment_string(
-                i1 in realigned, i2 in realigned, "Stitched",
-                i1 in silence_set, i2 in silence_set)
-            records.append(BamRecord(
-                name, int(batch.ref_id[i1]), result.pos1 - 1,
-                max(int(batch.mapq[i1]), int(batch.mapq[i2])),
-                int(batch.flag[i1]) & ~0x1 & ~0x40 & ~0x80,
-                result.cigar, result.seq, result.qual,
-                tags=_tags_for(i1, treatment, {"XD": result.xd})))
+            _emit_stitched(name, i1, i2, result)
+
+    # pairs whose members carry NO per-read overrides (realignment, quals
+    # silencing/nification) go through ONE columnar native call
+    # (stitch_pairs_columnar); the rest take the per-pair path. Records
+    # are emitted in by_name order either way (the final stable sort keeps
+    # equal-position records in append order — the full-file oracles pin
+    # that order).
+    plain: List[Tuple[str, int, int]] = []
+    for name, members in by_name.items():
+        if len(members) != 2:
+            continue
+        i1, i2 = members
+        if (i1 in realigned or i2 in realigned or i1 in silence_set
+                or i2 in silence_set or i1 in nified_quals
+                or i2 in nified_quals):
+            continue
+        if batch.pos[i2] < batch.pos[i1]:
+            i1, i2 = i2, i1
+        plain.append((name, i1, i2))
+    batch_results: Dict[str, Tuple[int, object]] = {}
+    if plain:
+        from pisces_tpu.preprocessing.stitcher import stitch_pairs_columnar
+        idx1 = np.fromiter((p[1] for p in plain), np.int64, len(plain))
+        idx2 = np.fromiter((p[2] for p in plain), np.int64, len(plain))
+        ok, results = stitch_pairs_columnar(
+            batch, idx1, idx2,
+            min_base_quality=options.min_base_call_quality,
+            nify_disagreements=options.nify_disagreements,
+            use_softclipped_bases=options.use_softclipped_bases,
+            dont_stitch_homopolymer_bridge=
+            options.dont_stitch_homopolymer_bridge,
+            max_read_length=options.max_read_length,
+            ignore_probe_softclips=not options.stitch_probe_softclips,
+            threshold_num_disagreeing_bases=
+            options.max_num_disagreeing_bases,
+            count_ns_toward_disagreements=
+            options.count_ns_toward_disagreements)
+        if ok is not None:
+            for p, (name, i1, i2) in enumerate(plain):
+                batch_results[name] = (int(ok[p]), results[p])
+    for name, members in by_name.items():
+        if len(members) != 2:
+            continue
+        i1, i2 = members
+        hit = batch_results.get(name)
+        if hit is None:
+            _stitch_one(name, i1, i2)
+            continue
+        rc, result = hit
+        if rc == 1:
+            if batch.pos[i2] < batch.pos[i1]:
+                i1, i2 = i2, i1
+            stitch_attempted.update((i1, i2))
+            _emit_stitched(name, i1, i2, result)
+        elif rc == 0:
+            stitch_attempted.update((i1, i2))
+        else:  # unsupported input or probe-softclip conflict
+            _stitch_one(name, i1, i2)
 
     for i in range(batch.n):
         if not keep[i]:

@@ -777,6 +777,129 @@ class _NativeUnsupported(Exception):
     pass
 
 
+def _get_native_batch():
+    """Resolve the columnar batch entry (stitch_pairs_batch); None when the
+    native library is absent or predates it."""
+    lib = _get_native()
+    if lib is None or not hasattr(lib, "stitch_pairs_batch"):
+        return None
+    if getattr(lib, "_batch_sig_set", False):
+        return lib
+    vp = ctypes.c_void_p
+    ci = ctypes.c_int
+    i64 = ctypes.c_int64
+    lib.stitch_pairs_batch.restype = ctypes.c_int
+    lib.stitch_pairs_batch.argtypes = (
+        [i64, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, vp, ci]
+        + [ci] * 9
+        + [vp, vp, vp, vp, vp, i64, vp, vp, vp, i64, vp, vp, i64, vp])
+    lib._batch_sig_set = True
+    return lib
+
+
+class _BatchStitchCtx:
+    """Reusable per-thread output buffers for stitch_pairs_batch."""
+
+    def __init__(self, n_pairs: int, max_read_length: int):
+        self.n_pairs = n_pairs
+        self.mrl = max_read_length
+        self.seq_stride = 2 * max_read_length + 64
+        self.cig_stride = min(self.seq_stride, 4096)
+        self.xd_stride = 8 * self.seq_stride
+        n = n_pairs
+        self.ok = np.empty(n, np.int8)
+        self.out_pos = np.empty(n, np.int64)
+        self.out_ops = np.empty(n * self.cig_stride, np.uint8)
+        self.out_lens = np.empty(n * self.cig_stride, np.int32)
+        self.out_ncig = np.empty(n, np.int32)
+        self.out_seq = np.empty(n * self.seq_stride, np.uint8)
+        self.out_qual = np.empty(n * self.seq_stride, np.uint8)
+        self.out_len = np.empty(n, np.int32)
+        self.out_xd = np.empty(n * self.xd_stride, np.uint8)
+        self.out_xd_len = np.empty(n, np.int32)
+        self.out_counts = np.empty(3 * n, np.int32)
+
+
+def stitch_pairs_columnar(batch, idx1: np.ndarray, idx2: np.ndarray,
+                          min_base_quality: int = 20,
+                          nify_disagreements: bool = True,
+                          use_softclipped_bases: bool = True,
+                          dont_stitch_homopolymer_bridge: bool = True,
+                          max_read_length: int = 1024,
+                          ignore_probe_softclips: bool = True,
+                          allow_terminal_clips_to_support_overlapping_dels:
+                          bool = True,
+                          threshold_num_disagreeing_bases: Optional[int]
+                          = None,
+                          count_ns_toward_disagreements: bool = False):
+    """Stitch many pairs in one native call over the columnar ReadBatch
+    (no per-pair marshalling). idx1/idx2 must be ordered so
+    batch.pos[idx1] <= batch.pos[idx2] per pair. Returns
+    (ok, results) where ok[p] is the native return code and results[p] is
+    a StitchedRead for ok==1, else None; returns (None, None) when the
+    native batch entry is unavailable (caller falls back per pair).
+    Codes < -1 / == -1 mean the caller must re-run THAT pair through
+    stitch_reads (unsupported input or probe-softclip ValueError)."""
+    lib = _get_native_batch()
+    if lib is None or not USE_NATIVE:
+        return None, None
+    n = len(idx1)
+    if n == 0:
+        return np.empty(0, np.int8), []
+    ctx = getattr(_tls, "batch_ctx", None)
+    if ctx is None or ctx.n_pairs < n or ctx.mrl < max_read_length:
+        ctx = _BatchStitchCtx(max(n, 256), max_read_length)
+        _tls.batch_ctx = ctx
+    lut = b"AGCTN-"
+    i1 = np.ascontiguousarray(idx1, np.int64)
+    i2 = np.ascontiguousarray(idx2, np.int64)
+    pos = np.ascontiguousarray(batch.pos, np.int32)
+    flag = np.ascontiguousarray(batch.flag, np.uint16)
+    vp = ctypes.c_void_p
+
+    def P(a):
+        return vp(a.ctypes.data)
+
+    lib.stitch_pairs_batch(
+        n, P(i1), P(i2), P(pos), P(flag),
+        P(batch.cigar_off), P(batch.cigar_ops), P(batch.cigar_lens),
+        P(batch.seq_off), P(batch.seq), P(batch.qual),
+        lut, len(lut),
+        min_base_quality, int(nify_disagreements),
+        int(use_softclipped_bases), int(dont_stitch_homopolymer_bridge),
+        max_read_length, int(ignore_probe_softclips),
+        int(allow_terminal_clips_to_support_overlapping_dels),
+        -1 if threshold_num_disagreeing_bases is None
+        else int(threshold_num_disagreeing_bases),
+        int(count_ns_toward_disagreements),
+        P(ctx.ok), P(ctx.out_pos),
+        P(ctx.out_ops), P(ctx.out_lens), P(ctx.out_ncig), ctx.cig_stride,
+        P(ctx.out_seq), P(ctx.out_qual), P(ctx.out_len), ctx.seq_stride,
+        P(ctx.out_xd), P(ctx.out_xd_len), ctx.xd_stride,
+        P(ctx.out_counts))
+    results = []
+    for p in range(n):
+        rc = int(ctx.ok[p])
+        if rc != 1:
+            results.append(None)
+            continue
+        nc = int(ctx.out_ncig[p])
+        ln = int(ctx.out_len[p])
+        co = p * ctx.cig_stride
+        so = p * ctx.seq_stride
+        xo = p * ctx.xd_stride
+        results.append(StitchedRead(
+            int(ctx.out_pos[p]),
+            list(zip(ctx.out_ops[co:co + nc].tolist(),
+                     ctx.out_lens[co:co + nc].tolist())),
+            ctx.out_seq[so:so + ln].tobytes().decode(),
+            ctx.out_qual[so:so + ln].tolist(),
+            ctx.out_xd[xo:xo + int(ctx.out_xd_len[p])].tobytes().decode(),
+            int(ctx.out_counts[3 * p]), int(ctx.out_counts[3 * p + 1]),
+            int(ctx.out_counts[3 * p + 2])))
+    return ctx.ok[:n], results
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
