@@ -957,11 +957,33 @@ def _stage_main(stage: str) -> None:
         single = process_bam_multihost(o, bam, gdir, use_device=False)
         la = [l for l in open(single) if not l.startswith("##")]
         lb = [l for l in open(merged) if not l.startswith("##")]
+        # elastic-recovery arm: SIGKILL worker 1 after its first shard; a
+        # recoverable host 0 must work-steal the dead worker's remaining
+        # chromosomes and still byte-match (reference: the parent reaps
+        # crashed -InsideSubProcess children, CliTask.cs:55-90)
+        bam4, gdir4 = _write_synthetic_workload(os.path.join(tmp, "wl4"),
+                                                4, 100_000, 30_000)
+        t0 = time.perf_counter()
+        merged_k = run_local_multihost(bam4, gdir4, os.path.join(tmp, "mhk"),
+                                       n_procs=2, timeout_s=300,
+                                       kill_worker=1, recover_stall_s=5,
+                                       delay_per_chr=3)
+        dtk = time.perf_counter() - t0
+        ok = PiscesApplicationOptions()
+        ok.output_directory = os.path.join(tmp, "spk")
+        os.makedirs(ok.output_directory, exist_ok=True)
+        ok.vcf_writing_parameters.output_gvcf_file = True
+        single_k = process_bam_multihost(ok, bam4, gdir4, use_device=False)
+        ka = [l for l in open(single_k) if not l.startswith("##")]
+        kb = [l for l in open(merged_k) if not l.startswith("##")]
         _emit(f"multihost (REAL jax.distributed, 2 coordinator-joined "
               f"processes, CPU backend): process_count=2 "
-              f"vcf_lines={len(lb)} byte_equal={la == lb} wall={dt:.1f}s",
+              f"vcf_lines={len(lb)} byte_equal={la == lb} wall={dt:.1f}s; "
+              f"SIGKILL-worker-1 recovery arm: byte_equal={ka == kb} "
+              f"wall={dtk:.1f}s",
               f"multihost real 2-proc: byte_equal={la == lb} "
-              f"wall={dt:.1f}s")
+              f"wall={dt:.1f}s; SIGKILL recovery byte_equal={ka == kb} "
+              f"wall={dtk:.1f}s")
     elif stage == "candidates":
         rate = bench_candidates()
         _emit(f"candidate-path kernel: {rate:,.0f} candidates/s/chip "

@@ -20,11 +20,23 @@ from pisces_tpu.utils import logger
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> tuple:
+                     process_id: Optional[int] = None,
+                     recoverable: bool = True,
+                     heartbeat_timeout_s: int = 100,
+                     shutdown_timeout_s: int = 20) -> tuple:
     """Join the jax.distributed job. Returns (process_id, num_processes).
 
     Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID when
-    arguments are omitted; a no-op single-process setup otherwise."""
+    arguments are omitted; a no-op single-process setup otherwise.
+
+    recoverable=True sets jax_enable_recoverability, so a surviving host
+    keeps running when a peer dies (without it, the coordination service's
+    error-polling thread FATALLY terminates every task on the first missed
+    heartbeat — observed: 'Terminating process because the JAX distributed
+    service detected fatal errors', client.h:80). The elastic work-steal
+    path (wait_and_merge_shards recover=) requires survivors to outlive
+    dead peers, the same way the reference's parent keeps running when an
+    -InsideSubProcess child dies (CliTask.cs:55-90 reaps exit codes)."""
     import jax
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -34,9 +46,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if not coordinator_address or not num_processes or num_processes <= 1:
         return 0, 1
+    if recoverable:
+        try:
+            jax.config.update("jax_enable_recoverability", True)
+        except AttributeError:  # older jax without the flag
+            pass
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               heartbeat_timeout_seconds=heartbeat_timeout_s,
+                               shutdown_timeout_seconds=shutdown_timeout_s)
     return jax.process_index(), jax.process_count()
 
 
@@ -113,7 +132,9 @@ def process_bam_multihost(options, bam_path: str, genome_dir: str,
                           use_device: bool = False,
                           coordinator_address: Optional[str] = None,
                           num_processes: Optional[int] = None,
-                          process_id: Optional[int] = None) -> Optional[str]:
+                          process_id: Optional[int] = None,
+                          recover_stall_s: float = 600.0,
+                          delay_per_chr: float = 0.0) -> Optional[str]:
     """Run this host's share of chromosomes; host 0 merges and returns the
     final VCF path, other hosts return None."""
     from pisces_tpu.apps.pisces import process_bam
@@ -138,7 +159,9 @@ def process_bam_multihost(options, bam_path: str, genome_dir: str,
     shard_of = {c: os.path.join(out_dir, f"{stem}.vcf_{c}")
                 for c, _l in chrom_lengths}
 
-    for chrom in mine:
+    for k, chrom in enumerate(mine):
+        if delay_per_chr and k > 0:
+            time.sleep(delay_per_chr)  # test hook (see main --delay-per-chr)
         tmp = shard_of[chrom] + f".tmp{pid}"
         options.chromosome_filter = chrom
         process_bam(options, bam_path, genome, out_vcf=tmp,
@@ -160,7 +183,7 @@ def process_bam_multihost(options, bam_path: str, genome_dir: str,
 
     return wait_and_merge_shards(final_vcf, shard_of,
                                  [c for c, _l in chrom_lengths],
-                                 recover=_recover)
+                                 recover=_recover, stall_s=recover_stall_s)
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +214,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (single-box runs share one "
                         "TPU tunnel; each worker must not grab it)")
+    p.add_argument("--stall", type=float, default=600.0,
+                   help="host 0 work-steals a dead host's chromosomes "
+                        "after this many seconds without shard progress")
+    p.add_argument("--delay-per-chr", type=float, default=0.0,
+                   help="test hook: sleep before each chromosome so a "
+                        "mid-run SIGKILL lands deterministically")
     a = p.parse_args(argv)
     if a.cpu:
         try:
@@ -202,7 +231,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     o.vcf_writing_parameters.output_gvcf_file = a.gvcf
     merged = process_bam_multihost(
         o, a.bam, a.g, use_device=False, coordinator_address=a.coordinator,
-        num_processes=a.nprocs, process_id=a.pid)
+        num_processes=a.nprocs, process_id=a.pid,
+        recover_stall_s=a.stall, delay_per_chr=a.delay_per_chr)
     import jax as _j
     print(f"multihost worker pid={a.pid} process_count={_j.process_count()} "
           f"merged={merged or '-'}", flush=True)
@@ -211,10 +241,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
 def run_local_multihost(bam_path: str, genome_dir: str, out_dir: str,
                         n_procs: int = 2, gvcf: bool = True,
-                        timeout_s: float = 600.0) -> str:
+                        timeout_s: float = 600.0,
+                        kill_worker: Optional[int] = None,
+                        recover_stall_s: float = 600.0,
+                        delay_per_chr: float = 0.0) -> str:
     """Spawn n_procs coordinator-joined worker processes on this box (CPU
     backend) and return the merged VCF path. Used by tests and the bench's
-    multihost stage."""
+    multihost stage.
+
+    kill_worker: SIGKILL that worker right after it renames its FIRST
+    shard (a real mid-run process death — the reference's children can die
+    the same way, CliTask.cs:55-90 checks their exit codes); host 0 must
+    work-steal the dead worker's remaining chromosomes after
+    recover_stall_s without shard progress and still produce the complete
+    merged VCF."""
+    import signal
     import socket
     import subprocess
     import sys
@@ -237,16 +278,45 @@ def run_local_multihost(bam_path: str, genome_dir: str, out_dir: str,
         cmd = [sys.executable, "-m", "pisces_tpu.parallel.multihost",
                "-bam", bam_path, "-g", genome_dir, "-o", out_dir,
                "--coordinator", coord, "--nprocs", str(n_procs),
-               "--pid", str(i), "--cpu"]
+               "--pid", str(i), "--cpu", "--stall", str(recover_stall_s)]
+        if delay_per_chr:
+            cmd += ["--delay-per-chr", str(delay_per_chr)]
         if gvcf:
             cmd.append("--gvcf")
         procs.append(subprocess.Popen(cmd, env=env, cwd=repo,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
+
+    if kill_worker is not None:
+        # deterministic mid-run death: wait for the victim's first shard
+        # (the LPT plan is deterministic, so its chromosome set is known),
+        # then SIGKILL it while its remaining chromosomes are unwritten
+        from pisces_tpu.io.fasta import Genome
+        plan = host_chromosome_assignment(
+            Genome(genome_dir).chromosome_lengths, n_procs)
+        victim_chroms = plan[kill_worker]
+        assert len(victim_chroms) >= 2, "kill test needs >=2 chroms/worker"
+        stem0 = os.path.basename(bam_path)
+        stem0 = stem0[:-4] if stem0.endswith(".bam") else stem0
+        first_shard = os.path.join(out_dir,
+                                   f"{stem0}.vcf_{victim_chroms[0]}")
+        deadline = time.monotonic() + timeout_s / 2
+        while (not os.path.exists(first_shard)
+               and procs[kill_worker].poll() is None):
+            if time.monotonic() > deadline:
+                raise RuntimeError("victim never wrote its first shard")
+            time.sleep(0.05)
+        procs[kill_worker].send_signal(signal.SIGKILL)
+
     outs = []
     for i, pr in enumerate(procs):
         out, _ = pr.communicate(timeout=timeout_s)
         outs.append(out)
+        if i == kill_worker:
+            if pr.returncode == 0:
+                raise RuntimeError("victim finished before the kill landed; "
+                                   "increase delay_per_chr")
+            continue
         if pr.returncode != 0:
             raise RuntimeError(
                 f"multihost worker {i} rc={pr.returncode}:\n{out[-2000:]}")

@@ -359,3 +359,35 @@ class TestRealTwoProcessDistributed:
         lb = [l for l in open(merged) if not l.startswith("##")]
         assert la == lb
         assert len(lb) > 100
+
+    def test_survivor_recovers_after_real_worker_sigkill(self, tmp_path):
+        """A REAL process death: worker 1 is SIGKILLed right after its
+        first shard lands (jax_enable_recoverability keeps the survivor
+        alive through the lost heartbeat); host 0 detects the stall,
+        work-steals the dead worker's remaining chromosomes, and the
+        merged VCF is byte-equal to a clean single-process run.
+        Reference analog: the parent reaps a crashed -InsideSubProcess
+        child's exit code (CliTask.cs:55-90) and the job must not hang."""
+        import bench
+        from pisces_tpu.parallel.multihost import (
+            process_bam_multihost, run_local_multihost,
+        )
+
+        bam, gdir = bench._write_synthetic_workload(
+            str(tmp_path / "wl"), n_chroms=4, chrom_len=30_000,
+            n_reads=6_000)
+        merged = run_local_multihost(bam, gdir, str(tmp_path / "mh"),
+                                     n_procs=2, timeout_s=300,
+                                     kill_worker=1, recover_stall_s=4,
+                                     delay_per_chr=3)
+
+        o = PiscesApplicationOptions()
+        o.output_directory = str(tmp_path / "sp")
+        os.makedirs(o.output_directory, exist_ok=True)
+        o.vcf_writing_parameters.output_gvcf_file = True
+        single = process_bam_multihost(o, bam, gdir, use_device=False)
+
+        la = [l for l in open(single) if not l.startswith("##")]
+        lb = [l for l in open(merged) if not l.startswith("##")]
+        assert la == lb
+        assert len(lb) > 100
