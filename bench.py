@@ -1020,6 +1020,14 @@ def _cpu_sample():
 
 
 def main():
+    # this environment sets PYTHONDONTWRITEBYTECODE=1, so every process
+    # re-compiles every module from source (~20ms of the cold first-run on
+    # lazy imports alone). compileall writes the .pyc cache explicitly;
+    # all stage subprocesses then import from bytecode.
+    subprocess.run([sys.executable, "-m", "compileall", "-q",
+                    os.path.join(_REPO, "pisces_tpu")],
+                   capture_output=True, timeout=120)
+
     rng = np.random.default_rng(0)
     L = 1 << 20  # 1M loci per tile
     counts = rng.integers(0, 30, size=(L, 6, 3, 11)).astype(np.int32)

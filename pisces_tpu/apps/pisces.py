@@ -230,7 +230,7 @@ def call_chromosome(options: PiscesApplicationOptions, chrom: ChrReference,
         from pisces_tpu.calling.fast_gvcf import (
             format_reference_lines, score_reference_positions,
         )
-        from pisces_tpu.ops.jax_scoring import ScoringParams
+        from pisces_tpu.ops.scoring_params import ScoringParams
         v = options.variant_calling_parameters
         params = ScoringParams(
             noise_level=v.noise_level_used_for_q_scoring,

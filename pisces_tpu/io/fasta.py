@@ -115,23 +115,79 @@ def load_chromosome(fasta_path: str, entry: FaiEntry) -> np.ndarray:
     return seq
 
 
+# one-pass cleanup table: uppercase a-z, used with delete=b"\r\n" so the
+# whole strip+uppercase is a single C-speed bytes.translate
+_UPPER_TABLE = bytes(
+    c - 32 if ord("a") <= c <= ord("z") else c for c in range(256))
+
+
 def _load_chromosome_uncached(fasta_path: str, entry: FaiEntry) -> np.ndarray:
-    ranges = _scan_fasta(fasta_path)
-    if entry.name not in ranges:
-        raise KeyError(f"{entry.name} not found in {fasta_path}")
-    start, end = ranges[entry.name]
-    with open(fasta_path, "rb") as f:
-        f.seek(start)
-        raw = np.frombuffer(f.read(end - start), dtype=np.uint8)
-    seq = raw[(raw != ord("\n")) & (raw != ord("\r"))]
-    if len(seq) < entry.length:
-        raise ValueError(
-            f"{entry.name}: expected {entry.length} bases, found {len(seq)}")
-    seq = seq[:entry.length].copy()
-    # uppercase in place: 'a'..'z' -> 'A'..'Z'
-    lower = (seq >= ord("a")) & (seq <= ord("z"))
-    seq[lower] -= 32
+    seq = _load_via_fai(fasta_path, entry)
+    if seq is None:  # stale/absent .fai layout: scan the whole file
+        ranges = _scan_fasta(fasta_path)
+        if entry.name not in ranges:
+            raise KeyError(f"{entry.name} not found in {fasta_path}")
+        start, end = ranges[entry.name]
+        with open(fasta_path, "rb") as f:
+            f.seek(start)
+            data = f.read(end - start)
+        cleaned = data.translate(_UPPER_TABLE, b"\r\n")
+        if len(cleaned) < entry.length:
+            raise ValueError(f"{entry.name}: expected {entry.length} bases, "
+                             f"found {len(cleaned)}")
+        return np.frombuffer(cleaned, np.uint8)[:entry.length]
+    # .fai fast path delivers raw sequence bytes; uppercase only when a
+    # lowercase (soft-masked) reference actually needs it
+    if seq.max(initial=0) >= ord("a"):
+        if not seq.flags.writeable:
+            seq = seq.copy()
+        lower = (seq >= ord("a")) & (seq <= ord("z"))
+        seq[lower] -= 32
     return seq
+
+
+def _load_via_fai(fasta_path: str, entry: FaiEntry) -> Optional[np.ndarray]:
+    """Direct .fai-indexed load: seek to the entry's offset and strip
+    newlines by RESHAPE over the uniform line layout (two memcpys instead
+    of a whole-file scan + boolean mask — the scan dominated the
+    cold-start profile at ~26ms for a 3MB genome). Returns None when the
+    .fai layout does not validate against the file (some shipped test
+    genomes carry stale indexes — the scan path handles those)."""
+    blen, wid = entry.line_bases, entry.line_width
+    if blen <= 0 or wid <= blen or entry.offset <= 0:
+        return None
+    full, rem = divmod(entry.length, blen)
+    nbytes = full * wid + (rem + (wid - blen) if rem else 0)
+    try:
+        with open(fasta_path, "rb") as f:
+            # validate: the bytes immediately before offset must be a
+            # header line naming this contig
+            back = min(entry.offset, 256)
+            f.seek(entry.offset - back)
+            head = f.read(back)
+            gt = head.rfind(b">")
+            if gt < 0 or not head[gt + 1:].startswith(entry.name.encode()):
+                return None
+            raw = f.read(nbytes)
+    except OSError:
+        return None
+    if len(raw) < nbytes:
+        return None
+    arr = np.frombuffer(raw, np.uint8)
+    grid = arr[:full * wid].reshape(full, wid)
+    body = grid[:, :blen]
+    if full:
+        # terminator columns must be newline bytes (\n, or \r\n) or the
+        # .fai layout is stale
+        nl = grid[:, blen:]
+        if int(nl.min()) < ord("\n") or int(nl.max()) > ord("\r"):
+            return None
+    if rem:
+        out = np.empty(entry.length, np.uint8)
+        out[:full * blen] = body.ravel()
+        out[full * blen:] = arr[full * wid:full * wid + rem]
+        return out
+    return np.ascontiguousarray(body).reshape(-1)
 
 
 @dataclass

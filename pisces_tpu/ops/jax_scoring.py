@@ -23,35 +23,18 @@ from jax.scipy.special import gammainc, gammaincc, gammaln
 from pisces_tpu.domain.types import (
     AlleleType, DirectionType, Genotype,
 )
+# ScoringParams and the filter-bit constants live in the jax-free
+# ops/scoring_params module (host cold-start); re-exported here for the
+# device-path callers
+from pisces_tpu.ops.scoring_params import (  # noqa: F401
+    FILTER_BIT_LOW_DEPTH, FILTER_BIT_LOW_VARIANT_QSCORE,
+    FILTER_BIT_STRAND_BIAS, FILTER_BIT_LOW_VARIANT_FREQUENCY,
+    FILTER_BIT_NO_CALL, ScoringParams,
+)
 
 LN10 = 2.302585092994046
 _COV_ALLELES = (int(AlleleType.A), int(AlleleType.C), int(AlleleType.G),
                 int(AlleleType.T), int(AlleleType.DELETION))
-
-# filter bit positions in the output bitmask
-FILTER_BIT_LOW_DEPTH = 0
-FILTER_BIT_LOW_VARIANT_QSCORE = 1
-FILTER_BIT_STRAND_BIAS = 2
-FILTER_BIT_LOW_VARIANT_FREQUENCY = 3
-FILTER_BIT_NO_CALL = 4
-
-
-class ScoringParams(NamedTuple):
-    """Static scoring configuration baked into the compiled kernel."""
-
-    noise_level: int = 20            # NoiseLevelUsedForQScoring
-    max_variant_qscore: int = 100
-    min_variant_qscore: int = 20
-    variant_qscore_filter: int = 30
-    min_frequency: float = 0.01
-    min_frequency_filter: float = 0.01
-    target_lod: float = 0.01
-    min_depth: int = 10
-    low_depth_filter: int = 10
-    min_gq: int = 0
-    max_gq: int = 100
-    sb_acceptance: float = 0.5
-    no_call_filter: float = 0.6
 
 
 def q_to_p(q):
