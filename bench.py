@@ -811,6 +811,62 @@ def _stage_main(stage: str) -> None:
               f"{n_out:,} reads out",
               f"gemini Chr17Chr19: {n_reads / dt:,.0f} r/s steady, "
               f"cold {cold:.2f}s")
+        # realigner-engaged arm: recurrent planted indels (40% carrier VF,
+        # half written misaligned as clean-M) force the native realigner
+        # core (io/_native/realign.cpp) through its hot path
+        from pisces_tpu.preprocessing.gemini import GeminiOptions
+        from pisces_tpu.io.bam_write import BamWriter
+        from pisces_tpu.io.fasta import create_genome_size_xml, write_fai
+        import random as _random
+        rng2 = _random.Random(21)
+        rtmp = os.path.join(tmp, "realign_corpus")
+        os.makedirs(os.path.join(rtmp, "genome"), exist_ok=True)
+        clen, rl, n_r = 15_000, 80, 8_000
+        refs = "".join(rng2.choice("ACGT") for _ in range(clen))
+        with open(os.path.join(rtmp, "genome", "chrR.fa"), "w") as f:
+            f.write(">chrR\n")
+            for i in range(0, clen, 70):
+                f.write(refs[i:i + 70] + "\n")
+        write_fai(os.path.join(rtmp, "genome", "chrR.fa"))
+        create_genome_size_xml(os.path.join(rtmp, "genome"))
+        sites = [(2000 + k * 1200, k % 2 == 0) for k in range(10)]
+        ins_of = {p: "".join(rng2.choice("ACGT") for _ in range(2))
+                  for p, ii in sites if ii}
+        rb = os.path.join(rtmp, "r.bam")
+        w = BamWriter(rb, ["chrR"], [clen])
+        for i in range(n_r):
+            p = rng2.randint(1, clen - rl - 4)
+            sq = list(refs[p - 1:p - 1 + rl])
+            cg = f"{rl}M"
+            for sp, ii in sites:
+                off = sp - p
+                if 10 <= off < rl - 12 and rng2.random() < 0.4:
+                    if ii:
+                        sq = (sq[:off + 1] + list(ins_of[sp])
+                              + sq[off + 1:])[:rl]
+                        if rng2.random() < 0.5:
+                            cg = f"{off + 1}M2I{rl - off - 3}M"
+                    else:
+                        sq = (sq[:off + 1] + sq[off + 3:]
+                              + list(refs[p - 1 + rl:p - 1 + rl + 2]))[:rl]
+                        if rng2.random() < 0.5:
+                            cg = f"{off + 1}M2D{rl - off - 1}M"
+                    break
+            w.add_read(f"r{i}", "chrR", p, cg, "".join(sq),
+                       flag=0x10 if i & 1 else 0)
+        w.write()
+        gopts = GeminiOptions(use_bin_signal=False)
+        run_gemini(rb, os.path.join(rtmp, "genome"),
+                   os.path.join(rtmp, "out.bam"), options=gopts)  # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            run_gemini(rb, os.path.join(rtmp, "genome"),
+                       os.path.join(rtmp, "out.bam"), options=gopts)
+        rdt = (time.perf_counter() - t0) / 3
+        _emit(f"gemini realigner-engaged corpus (8k reads, 10 recurrent "
+              f"indel sites, native realign.cpp core): {rdt:.3f}s = "
+              f"{n_r / rdt:,.0f} reads/s",
+              f"gemini realign-heavy: {n_r / rdt:,.0f} r/s")
     elif stage == "titration":
         # host scoring: accuracy is identical (byte-parity pinned in tests)
         # and the stage must land inside its budget — per-batch device

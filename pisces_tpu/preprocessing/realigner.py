@@ -645,6 +645,68 @@ class _Details:
     pmap: np.ndarray  # fresh all-M position map for seq
 
 
+USE_NATIVE_REALIGN = True  # tests flip this to force the Python path
+_realign_lib = None        # lazily resolved; False when unavailable
+_realign_tls = None
+
+
+def _get_realign_native():
+    """Resolve the native realign_anchor entry (io/_native/realign.cpp)."""
+    global _realign_lib, _realign_tls
+    if _realign_lib is None:
+        import ctypes
+        import threading
+        _get_aln_native()  # shares its _ref_bytes_cache
+        try:
+            from pisces_tpu.io.native import get_lib
+            lib = get_lib()
+            if lib is not None and hasattr(lib, "realign_anchor"):
+                vp = ctypes.c_void_p
+                i64 = ctypes.c_int64
+                ci = ctypes.c_int
+                lib.realign_anchor.restype = ctypes.c_int
+                lib.realign_anchor.argtypes = (
+                    [vp, i64,                 # ref
+                     i64, i64, i64, i64, i64,  # details
+                     vp, vp, i64,            # seq/quals/len
+                     i64] + [vp] * 6          # indel scalar arrays
+                    + [vp] + [vp] * 4         # pool + 4 offset arrays
+                    + [ci, ci]                # anchor_left, pair_specific
+                    + [ci] * 5 + [i64, ctypes.c_double, i64]  # config
+                    + [vp, vp, vp, vp, vp, vp, vp, vp, ci])   # outputs
+                _realign_lib = lib
+                _realign_tls = threading.local()
+            else:
+                _realign_lib = False
+        except Exception:
+            _realign_lib = False
+    return _realign_lib or None
+
+
+class _RealignCtx:
+    """Per-thread preallocated output buffers for realign_anchor."""
+
+    CAP = 4096
+
+    def __init__(self):
+        self.out_ops = np.empty(self.CAP, np.uint8)
+        self.out_lens = np.empty(self.CAP, np.int32)
+        self.out_nc = np.empty(1, np.int32)
+        self.counters = np.empty(13, np.int64)
+        self.out_added = np.empty(self.CAP, np.int32)
+        self.out_n_added = np.empty(1, np.int32)
+        self.out_nified = np.empty(self.CAP, np.int32)
+        self.out_n_nified = np.empty(1, np.int32)
+
+
+def _realign_ctx() -> "_RealignCtx":
+    ctx = getattr(_realign_tls, "ctx", None)
+    if ctx is None:
+        ctx = _RealignCtx()
+        _realign_tls.ctx = ctx
+    return ctx
+
+
 class GeminiReadRealigner:
     def __init__(self, comparer: GemBasicAlignmentComparer,
                  remask_softclips: bool = True,
@@ -886,11 +948,106 @@ class GeminiReadRealigner:
 
     # -- per-anchor orchestration -------------------------------------------
 
+    def _realign_native(self, indels, seq: str, quals, refseq_str: str,
+                        anchor_left: bool, details: _Details,
+                        pair_specific: bool, indexes):
+        """Native fast path for _realign_for_anchor; returns the result,
+        None (no realignment), or NotImplemented to use the Python path."""
+        lib = _get_realign_native()
+        if lib is None or not USE_NATIVE_REALIGN:
+            return NotImplemented
+        import ctypes
+        n = len(indels)
+        # string pool: four CONTIGUOUS per-field regions (ref alleles,
+        # then alt alleles, then repeat units, then ref suffixes) so each
+        # field's offset table satisfies off[k+1] == end of string k
+        tables = []
+        pieces = []
+        cursor = 0
+        for field in ("ref_allele", "alt_allele", "repeat_unit",
+                      "ref_suffix"):
+            t = np.empty(n + 1, np.int64)
+            for k, h in enumerate(indels):
+                t[k] = cursor
+                b = getattr(h, field).encode("latin-1")
+                pieces.append(b)
+                cursor += len(b)
+            t[n] = cursor
+            tables.append(t)
+        pool = b"".join(pieces)
+        ra_t, aa_t, ru_t, rs_t = tables
+        pos_a = np.fromiter((h.position for h in indels), np.int64, n)
+        len_a = np.fromiter((h.length for h in indels), np.int64, n)
+        flg_a = np.fromiter(
+            ((1 if h.is_insertion else 0) | (2 if h.is_repeat else 0)
+             | (4 if h.is_duplication else 0) for h in indels), np.uint8, n)
+        dl_a = np.fromiter((h.num_approx_dups_left for h in indels),
+                           np.int64, n)
+        dr_a = np.fromiter((h.num_approx_dups_right for h in indels),
+                           np.int64, n)
+        su_a = np.fromiter((h.num_bases_in_ref_suffix_before_unique
+                            for h in indels), np.int64, n)
+        rb = _ref_bytes(refseq_str)
+        q = np.ascontiguousarray(quals, np.uint8)
+        ctx = _realign_ctx()
+        vp = ctypes.c_void_p
+
+        def P(a):
+            return vp(a.ctypes.data)
+
+        rc = lib.realign_anchor(
+            rb, len(rb),
+            details.position, details.n_prefix, details.n_suffix,
+            details.prefix_softclip, details.suffix_softclip,
+            seq.encode("latin-1"), P(q), len(seq),
+            n, P(pos_a), P(len_a), P(flg_a), P(dl_a), P(dr_a), P(su_a),
+            pool, P(ra_t), P(aa_t), P(ru_t), P(rs_t),
+            int(anchor_left), int(pair_specific),
+            int(self._remask), int(self._mask_partial_insertion),
+            int(self._keep_probe), int(self._keep_both),
+            int(self._mask_ns_only), self._min_ins_mismatch,
+            self._max_prop_ins_mismatch, self._min_unanchored_ins,
+            P(ctx.out_ops), P(ctx.out_lens), P(ctx.out_nc),
+            P(ctx.counters), P(ctx.out_added), P(ctx.out_n_added),
+            P(ctx.out_nified), P(ctx.out_n_nified), ctx.CAP)
+        if rc == -1:
+            return NotImplemented
+        if rc == 0:
+            return None
+        c = ctx.counters
+        nc = int(ctx.out_nc[0])
+        order = (list(range(n)) if anchor_left
+                 else list(range(n - 1, -1, -1)))
+        result = RealignmentResult(
+            position=int(c[12]),
+            cigar=list(zip(ctx.out_ops[:nc].tolist(),
+                           ctx.out_lens[:nc].tolist())),
+            num_indels=int(c[0]), num_mismatches=int(c[1]),
+            num_softclips=int(c[2]), num_non_n_softclips=int(c[3]),
+            num_deleted_bases=int(c[4]), num_inserted_bases=int(c[5]),
+            num_matches=int(c[6]), num_indel_bases=int(c[7]),
+            num_mismatches_incl_softclip=int(c[8]),
+            anchor_length=int(c[9]),
+            sum_of_mismatching_qualities=(None if int(c[10]) == -1
+                                          else int(c[10])),
+            is_sketchy=bool(c[11]),
+            nified_at=ctx.out_nified[:int(ctx.out_n_nified[0])].tolist(),
+            indels_added_at=ctx.out_added[:int(
+                ctx.out_n_added[0])].tolist())
+        result.accepted_indels = [indexes[i] for i in order]
+        result.accepted_hashables = [indels[i] for i in order]
+        return result
+
     def _realign_for_anchor(self, indels: List[HashableIndel],
                             pos1, cigar, seq, quals, refseq_str: str,
                             anchor_left: bool, details: _Details,
                             pair_specific: bool, indexes: List[int]
                             ) -> Optional[RealignmentResult]:
+        nat = self._realign_native(indels, seq, quals, refseq_str,
+                                   anchor_left, details, pair_specific,
+                                   indexes)
+        if nat is not NotImplemented:
+            return nat
         pmap = details.pmap.copy()
         result: Optional[RealignmentResult] = None
         accepted_sub: List[int] = []
