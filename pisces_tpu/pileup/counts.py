@@ -47,6 +47,10 @@ class PileupCounts:
     # optional native fast path: int32 [NB*B, 8] per-position scoring tuples
     # [sup_f, sup_r, sup_s, cov_f, cov_r, cov_s, n_total, 0]
     pos_tuples: Optional[np.ndarray] = None
+    # lazy {block_key: slot} / {position: row} maps backing the scalar
+    # pos_index / anchored_row fast paths
+    _slot_map: Optional[dict] = None
+    _anchored_map: Optional[dict] = None
 
     def block_slot(self, pos) -> np.ndarray:
         keys = (np.asarray(pos, dtype=np.int64) + self.block_size - 1) // self.block_size
@@ -56,7 +60,20 @@ class PileupCounts:
         return np.where(ok, slot, -1)
 
     def pos_index(self, pos) -> np.ndarray:
-        """Row index into the flattened totals; -1 when untouched."""
+        """Row index into the flattened totals; -1 when untouched.
+        Scalar queries (the per-variant coverage walks issue tens of
+        thousands of them — CoverageCalculator.CalculateSpanning) take a
+        dict-lookup fast path: the numpy scalar round-trip measured ~20us
+        per call, over half the messy single-thread e2e profile."""
+        if isinstance(pos, (int, np.integer)):
+            m = self._slot_map
+            if m is None:
+                m = {int(k): i for i, k in enumerate(self.block_keys)}
+                object.__setattr__(self, "_slot_map", m)
+            slot = m.get((int(pos) + self.block_size - 1) // self.block_size)
+            if slot is None:
+                return -1
+            return slot * self.block_size + (int(pos) - 1) % self.block_size
         pos = np.asarray(pos, dtype=np.int64)
         slot = self.block_slot(pos)
         within = (pos - 1) % self.block_size
@@ -70,11 +87,14 @@ class PileupCounts:
                                     NUM_DIRECTION_TYPES))
 
     def anchored_row(self, pos: int) -> int:
-        """Index into anchored_counts/quals for a position; -1 if absent."""
-        i = int(np.searchsorted(self.anchored_positions, pos))
-        if i < len(self.anchored_positions) and self.anchored_positions[i] == pos:
-            return i
-        return -1
+        """Index into anchored_counts/quals for a position; -1 if absent.
+        Dict-backed like the scalar pos_index (anchored rows exist only at
+        candidate positions, so the map is small)."""
+        m = self._anchored_map
+        if m is None:
+            m = {int(p): i for i, p in enumerate(self.anchored_positions)}
+            object.__setattr__(self, "_anchored_map", m)
+        return m.get(int(pos), -1)
 
 
 def _empty(block_size, anchor_size):
