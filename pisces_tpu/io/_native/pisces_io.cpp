@@ -947,12 +947,25 @@ int64_t bam_pileup_mm(void* h, const uint8_t* keep, int min_bq, int anchor_size,
   };
   const int64_t anch_lo = n_anchored ? anchored_pos[0] : 0;
   const int64_t anch_hi = n_anchored ? anchored_pos[n_anchored - 1] : -1;
+  // cursor-hinted membership test: base events arrive in near-monotone
+  // gpos order (sorted reads, in-read walks), so the hint advances O(1)
+  // per event instead of a fresh binary search per base (~12 probes per
+  // event over a WGS window's anchored set)
+  int64_t a_hint = 0;
   auto anchored_of = [&](int64_t gpos) -> int64_t {
     if (gpos < anch_lo || gpos > anch_hi) return -1;  // covers n_anchored==0
-    const int64_t* e = anchored_pos + n_anchored;
-    const int64_t* it = std::lower_bound(anchored_pos, e, gpos);
-    if (it == e || *it != gpos) return -1;
-    return it - anchored_pos;
+    if (a_hint >= n_anchored || anchored_pos[a_hint] < gpos ||
+        (a_hint > 0 && anchored_pos[a_hint - 1] >= gpos)) {
+      if (a_hint < n_anchored && anchored_pos[a_hint] < gpos &&
+          gpos - anchored_pos[a_hint] < 4096) {
+        while (a_hint < n_anchored && anchored_pos[a_hint] < gpos) a_hint++;
+      } else {
+        a_hint = std::lower_bound(anchored_pos, anchored_pos + n_anchored,
+                                  gpos) - anchored_pos;
+      }
+    }
+    if (a_hint < n_anchored && anchored_pos[a_hint] == gpos) return a_hint;
+    return -1;
   };
   auto add = [&](int64_t gpos, int allele, int dir, int anchor, double qerr) {
     int64_t row = row_of(gpos);
