@@ -285,7 +285,11 @@ Cigar softclip_cigar(const Cigar& raw, const std::vector<int8_t>& mm,
         first_non_s = (int64_t)i;
         break;
       }
-    expanded[first_non_s - 1] = OP_M;
+    // Python writes expanded[first_non_s - 1]; when first_non_s == 0
+    // (no leading S at all) negative indexing sets the LAST element
+    int64_t fix = first_non_s - 1;
+    if (fix < 0) fix += (int64_t)expanded.size();
+    expanded[fix] = OP_M;
   }
   if (!changed) return raw;
   return compress_expanded(expanded);

@@ -902,6 +902,15 @@ int stitch_pairs_batch(
     int64_t sa = seq_off[a], sb = seq_off[b];
     int len1 = (int)(seq_off[a + 1] - sa);
     int len2 = (int)(seq_off[b + 1] - sb);
+    // the native stitcher assumes the valid-BAM invariant
+    // len(seq) == read-span(cigar); the per-pair wrapper gates on it
+    // (stitcher.py stitch_reads) — malformed records must take the
+    // Python fallback, not index past their buffers here
+    if (read_span_of(cigar_ops + ca, cigar_lens + ca, nc1) != len1 ||
+        read_span_of(cigar_ops + cb, cigar_lens + cb, nc2) != len2) {
+      ok[p] = -1;
+      continue;
+    }
     s1.resize(len1);
     s2.resize(len2);
     for (int k = 0; k < len1; k++) {

@@ -82,6 +82,10 @@ def _scan_fasta(fasta_path: str) -> Dict[str, Tuple[int, int]]:
 _CHR_LOAD_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 _CHR_LOAD_LOCK = threading.Lock()
 _CHR_LOAD_CAP = 4
+# byte budget: a whole-genome sweep must not retain ~1 GB of finished
+# chromosomes for the process lifetime (the WGS bench commits peak RSS);
+# small test/panel genomes still enjoy the full 4-entry reuse
+_CHR_LOAD_MAX_BYTES = 256 * 1024 * 1024
 
 
 def load_chromosome(fasta_path: str, entry: FaiEntry) -> np.ndarray:
@@ -110,7 +114,10 @@ def load_chromosome(fasta_path: str, entry: FaiEntry) -> np.ndarray:
     if key is not None:
         with _CHR_LOAD_LOCK:
             _CHR_LOAD_CACHE[key] = seq
-            while len(_CHR_LOAD_CACHE) > _CHR_LOAD_CAP:
+            while len(_CHR_LOAD_CACHE) > _CHR_LOAD_CAP or (
+                    len(_CHR_LOAD_CACHE) > 1
+                    and sum(a.nbytes for a in _CHR_LOAD_CACHE.values())
+                    > _CHR_LOAD_MAX_BYTES):
                 _CHR_LOAD_CACHE.popitem(last=False)
     return seq
 
@@ -166,7 +173,13 @@ def _load_via_fai(fasta_path: str, entry: FaiEntry) -> Optional[np.ndarray]:
             f.seek(entry.offset - back)
             head = f.read(back)
             gt = head.rfind(b">")
-            if gt < 0 or not head[gt + 1:].startswith(entry.name.encode()):
+            nm = entry.name.encode()
+            rest = head[gt + 1:] if gt >= 0 else b""
+            # the name must be FOLLOWED by whitespace/newline: 'chr1'
+            # must not validate against a '>chr10' header
+            if (gt < 0 or not rest.startswith(nm)
+                    or rest[len(nm):len(nm) + 1] not in
+                    (b" ", b"\t", b"\r", b"\n")):
                 return None
             raw = f.read(nbytes)
     except OSError:

@@ -14,7 +14,6 @@ rounding distance of .5 boundaries.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

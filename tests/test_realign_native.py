@@ -146,7 +146,10 @@ def _both(realigner, pos1, cigar, seq, quals, indels, ref, **kw):
 def test_realign_native_matches_python_fuzz(config):
     if R._get_realign_native() is None:
         pytest.skip("native library unavailable")
-    rng = random.Random(hash(tuple(sorted(config))) & 0xffff)
+    import zlib
+    # deterministic per-config seed (str hash() is process-salted and
+    # would make fuzz failures unreproducible)
+    rng = random.Random(zlib.crc32(repr(sorted(config.items())).encode()))
     realigner = GeminiReadRealigner(GemBasicAlignmentComparer(), **config)
     n_some = 0
     for trial in range(400):
