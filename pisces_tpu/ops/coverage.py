@@ -120,7 +120,9 @@ def spanning_coverage(source: AlleleSource, category: AlleleCategory,
     if not be_picky:
         # all queries are full-range: fetch both rows once and replay the
         # same (d, a) accumulation order (float-sum parity with the
-        # per-call path; ~270us -> ~10us per spanning variant)
+        # per-call path); accumulators are plain ints — the generic path's
+        # per-cell numpy scalar in-place adds measured ~1.1s of a 2M-read
+        # WGS window sweep on their own
         rs = source.flat_rows(start_pos)
         re_ = source.flat_rows(end_pos)
         zc = [[0] * 3 for _ in range(6)]
@@ -128,26 +130,37 @@ def spanning_coverage(source: AlleleSource, category: AlleleCategory,
         cs, qs = (rs[0].tolist(), rs[1].tolist()) if rs else (zc, zq)
         ce, qe = (re_[0].tolist(), re_[1].tolist()) if re_ else (zc, zq)
         sum_q = res.sum_of_base_quality
+        s0 = s1 = s2 = e0 = e1 = e2 = 0
+        for a in _COV_ALLELES:
+            ca_ = cs[a]
+            cb_ = ce[a]
+            qa_ = qs[a]
+            qb_ = qe[a]
+            s0 += ca_[0]
+            e0 += cb_[0]
+            s1 += ca_[1]
+            e1 += cb_[1]
+            s2 += ca_[2]
+            e2 += cb_[2]
+        # float sums keep the reference's (d, a) interleaved order
         for d in range(NUM_DIRECTION_TYPES):
             for a in _COV_ALLELES:
-                sc = cs[a][d]
-                start_cov[d] += sc
-                ec = ce[a][d]
-                end_cov[d] += ec
-                conf_l += sc
-                conf_r += ec
                 sum_q += qs[a][d]
                 sum_q += qe[a][d]
         res.sum_of_base_quality = sum_q
-        _redistribute_stitched(start_cov)
-        _redistribute_stitched(end_cov)
+        conf_l += s0 + s1 + s2
+        conf_r += e0 + e1 + e2
+        # _redistribute_stitched on plain ints
+        s0 += -(-s2 // 2)
+        s1 += s2 // 2
+        e0 += -(-e2 // 2)
+        e1 += e2 // 2
         exact_total = np.float32(0.0)
-        for d in range(2):
+        for d, (sc_d, ec_d) in enumerate(((s0, e0), (s1, e1))):
             if presume_anchored:
-                exact = np.float32(int(start_cov[d])
-                                   + int(end_cov[d])) / np.float32(2.0)
+                exact = np.float32(sc_d + ec_d) / np.float32(2.0)
             else:
-                exact = np.float32(min(int(start_cov[d]), int(end_cov[d])))
+                exact = np.float32(min(sc_d, ec_d))
             res.coverage_by_direction[d] = int(exact)
             exact_total += exact
         res.total_coverage = int(exact_total)
